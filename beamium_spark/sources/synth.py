@@ -1,0 +1,224 @@
+"""Deterministic synthetic ``web_pages`` fixture generator.
+
+Schema (authoritative: BASELINE.json ``input_hint`` / FIXTURES.md F-1):
+
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Properties engineered in (all seeded — zero wall-clock dependence):
+
+- ~200 sites, zipf-skewed so one site holds >=30% of rows (hot url-bucket,
+  exercises salting; cf. beamium's per-scraper fan-in which concentrates
+  lines per source, /root/reference/src/scraper.rs:221-303).
+- ~5% of rows are re-crawls of an earlier url at a later warc_ts, with
+  **byte-identical html/text** — the end-to-end invariant the engine must
+  preserve (BASELINE.json input_hint).
+- warc_ts spans 3 days from 2025-01-01T00:00:00Z, bursty, with a forced
+  >=17-minute silent gap for one site (exercises gap-fill) plus rows exactly
+  on 1m/1h/1d window boundaries.
+- html = b"<html><body>" + payload + b"</body></html>"; text = payload.
+  Extraction is therefore expressible as a pure Spark column op and
+  byte-exact. Payload length ~lognormal (median ~8 KiB, clipped 256 KiB).
+- Edge rows: empty text, zero-length html, single-point series (site 199).
+
+Generation is numpy-vectorized and written with pyarrow directly (no Spark),
+so the DuckDB oracle and the Spark engine read the very same file bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+N_SITES = 200
+BASE_TS_US = 1735689600000000  # 2025-01-01T00:00:00Z in microseconds
+SPAN_US = 3 * 24 * 3600 * 1000000  # 3 days
+LANGS = ["en", "de", "fr", "es", "zh", "other"]
+LANG_P = [0.55, 0.12, 0.10, 0.08, 0.07, 0.08]
+HOT_SITE_SHARE = 0.30
+DUP_FRAC = 0.05
+_POOL_BYTES = 8 * 1024 * 1024
+_MAX_LEN = 256 * 1024
+_PREFIX = b"<html><body>"
+_SUFFIX = b"</body></html>"
+
+FIXTURE_ROOT = os.environ.get(
+    "BEAMIUM_FIXTURE_ROOT", "/root/repo/.fixtures/web_pages"
+)
+
+
+def rows_for_sf(sf: float) -> int:
+    """sf0.001→6k (tiny+), sf0.01→60k (oracle), sf0.1→600k (bench)."""
+    return max(2000, int(round(sf * 6_000_000)))
+
+
+def web_pages_path(sf: float, root: str = FIXTURE_ROOT) -> str:
+    return os.path.join(root, f"sf{sf:g}")
+
+
+def _site_probs() -> np.ndarray:
+    w = np.arange(1, N_SITES + 1, dtype=np.float64) ** -1.2
+    w /= w.sum()
+    # boost site 0 to hold >=30% of mass, renormalize the rest
+    w *= (1.0 - HOT_SITE_SHARE) / (1.0 - w[0])
+    w[0] = HOT_SITE_SHARE
+    return w / w.sum()
+
+
+def _payload_pool(rng: np.random.Generator) -> bytes:
+    """Deterministic ASCII word-soup pool; slices of it are page payloads."""
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz      ", dtype=np.uint8)
+    idx = rng.integers(0, len(alphabet), size=_POOL_BYTES)
+    return alphabet[idx].tobytes()
+
+
+def generate_web_pages(sf: float, out_dir: str) -> str:
+    n = rows_for_sf(sf)
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    pool = _payload_pool(rng)
+
+    # --- unique pages -----------------------------------------------------
+    n_unique = int(n * (1.0 - DUP_FRAC))
+    site = rng.choice(N_SITES, size=n_unique, p=_site_probs()).astype(np.int32)
+    site[site == 199] = 198  # reserve site 199 for the single-point series
+    path = np.arange(n_unique, dtype=np.int64)  # unique path per page
+    # lengths: lognormal median 8 KiB, sigma 1 → clipped [16, 256 KiB]
+    length = np.clip(
+        rng.lognormal(mean=np.log(8192.0), sigma=1.0, size=n_unique), 16, _MAX_LEN
+    ).astype(np.int64)
+    offset = rng.integers(0, _POOL_BYTES - _MAX_LEN, size=n_unique)
+    lang_idx = rng.choice(len(LANGS), size=n_unique, p=LANG_P)
+
+    # --- row stream: first crawls + 5% re-crawls --------------------------
+    n_dup = n - n_unique
+    dup_src = rng.integers(0, n_unique, size=n_dup)
+    url_idx = np.concatenate([np.arange(n_unique), dup_src])
+
+    # --- timestamps: bursty mixture over 3 days ---------------------------
+    u = rng.random(n)
+    burst = rng.integers(0, 4, size=n)
+    centers = np.array([0.15, 0.40, 0.65, 0.90]) * SPAN_US
+    widths = np.array([0.04, 0.08, 0.03, 0.06]) * SPAN_US
+    ts_off = np.where(
+        rng.random(n) < 0.5,
+        (u * SPAN_US),
+        np.clip(
+            centers[burst] + rng.standard_normal(n) * widths[burst], 0, SPAN_US - 1
+        ),
+    ).astype(np.int64)
+    ts = BASE_TS_US + ts_off
+    # re-crawls happen strictly later than the original crawl
+    ts[n_unique:] = np.maximum(ts[n_unique:], ts[dup_src] + 60_000_000)
+    ts = np.minimum(ts, BASE_TS_US + SPAN_US - 1)
+
+    # forced silent gap >=17 min for site 3 in hour 2 of day 1
+    gap_start = BASE_TS_US + 2 * 3600 * 1000000
+    gap_end = gap_start + 17 * 60 * 1000000
+    row_site = site[url_idx]
+    in_gap = (row_site == 3) & (ts >= gap_start) & (ts < gap_end)
+    ts[in_gap] = gap_end
+
+    order = np.argsort(ts, kind="stable")
+    url_idx, ts = url_idx[order], ts[order]
+
+    # --- materialize columns (bytes built from pool slices) ---------------
+    sites_s = np.char.zfill(site.astype("U4"), 4)
+
+    def mk_url(i: int) -> str:
+        return f"https://site{sites_s[i]}.example/p{path[i]}"
+
+    urls_u = [mk_url(i) for i in range(n_unique)]
+    texts_u = [
+        pool[offset[i] : offset[i] + length[i]].decode("ascii")
+        for i in range(n_unique)
+    ]
+    langs_u = [LANGS[j] for j in lang_idx]
+
+    # --- edge rows --------------------------------------------------------
+    extra = [
+        # empty text (wrapper-only html)
+        ("https://site0198.example/empty", BASE_TS_US + 1000, "", "en"),
+        # zero-length html
+        ("https://site0198.example/zero", BASE_TS_US + 2000, None, "en"),
+        # exact 1d/1h/1m boundary
+        ("https://site0005.example/day", BASE_TS_US + 24 * 3600 * 1000000, "day boundary page", "en"),
+        # exact 1h/1m boundary
+        ("https://site0005.example/hour", BASE_TS_US + 5 * 3600 * 1000000, "hour boundary page", "de"),
+        # single-point series: the only site-199 row
+        ("https://site0199.example/lonely", BASE_TS_US + 7 * 3600 * 1000000, "single point", "fr"),
+    ]
+
+    os.makedirs(out_dir + ".tmp", exist_ok=True)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    writer = pq.ParquetWriter(
+        os.path.join(out_dir + ".tmp", "part-00000.parquet"),
+        schema,
+        compression="snappy",
+    )
+    batch_rows = 50_000
+    pre, suf = _PREFIX, _SUFFIX
+    for lo in range(0, n, batch_rows):
+        hi = min(lo + batch_rows, n)
+        idx = url_idx[lo:hi]
+        cols_url = [urls_u[i] for i in idx]
+        cols_text = [texts_u[i] for i in idx]
+        cols_html = [pre + t.encode("ascii") + suf for t in cols_text]
+        cols_lang = [langs_u[i] for i in idx]
+        writer.write_table(
+            pa.table(
+                {
+                    "url": cols_url,
+                    "warc_ts": pa.array(ts[lo:hi], type=pa.timestamp("us")),
+                    "html": cols_html,
+                    "text": cols_text,
+                    "lang": cols_lang,
+                },
+                schema=schema,
+            )
+        )
+    ex_html = [
+        (pre + t.encode("ascii") + suf) if t is not None else b"" for _, _, t, _ in extra
+    ]
+    writer.write_table(
+        pa.table(
+            {
+                "url": [e[0] for e in extra],
+                "warc_ts": pa.array(
+                    np.array([e[1] for e in extra], dtype=np.int64),
+                    type=pa.timestamp("us"),
+                ),
+                "html": ex_html,
+                "text": [e[2] if e[2] is not None else "" for e in extra],
+                "lang": [e[3] for e in extra],
+            },
+            schema=schema,
+        )
+    )
+    writer.close()
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(out_dir + ".tmp", out_dir)
+    return out_dir
+
+
+def ensure_web_pages(sf: float, root: str = FIXTURE_ROOT) -> str:
+    """Generate-once cache; returns the parquet directory path."""
+    out = web_pages_path(sf, root)
+    if os.path.isdir(out) and any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        return out
+    os.makedirs(root, exist_ok=True)
+    return generate_web_pages(sf, out)
