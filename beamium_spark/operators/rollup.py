@@ -1,0 +1,138 @@
+"""Continuous-aggregate rollup tiers: 1m → 1h → 1d.
+
+Beamium batches datapoints into size-capped files per sink tier
+(/root/reference/src/scraper.rs:221-303, src/router.rs:171-231); the
+engine's tiers are *windowed decomposable aggregates* instead — the
+Spark-first reinterpretation mandated by BASELINE.json north_star.
+
+Each tier row keeps the decomposable tuple (cnt, sum, min, max) so a
+higher tier derives from the tier below without touching raw data —
+partial/final aggregation chained by hand across tiers (Catalyst does
+partial+final automatically *within* one groupBy, §4.2 SURVEY.md):
+
+    1h.cnt = Σ 1m.cnt      1h.sum = Σ 1m.sum
+    1h.min = min 1m.min    1h.max = max 1m.max
+    avg    = sum / cnt     (derived, never stored)
+
+Scale notes:
+
+- ``rollup_tier`` is one hash-aggregate with map-side partial combine;
+  its shuffle is keyed (bucket, metric, window) — explicit partitioning
+  per north_rule, and AQE coalesces small post-shuffle partitions.
+- Cascades aggregate ~60× fewer rows each level; at 10^12 docs only the
+  1m rollup ever scans raw pages.
+- ``rollup_tier_salted`` handles hot url-buckets (one site can dominate a
+  bucket): stage 1 aggregates on (key..., salt) spreading one hot group
+  over ``salt_factor`` reducers, stage 2 merges the decomposable tuples.
+  Salting only touches the shuffle key, never the logical group key, so
+  outputs are bit-identical with salting on or off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+#: decomposable aggregate tuple columns carried by every tier
+TUPLE_COLS = ("cnt", "sum_value", "min_value", "max_value")
+
+
+def rollup_tier(
+    points: DataFrame,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """points → (bucket, metric, *extra_keys, window_start, cnt, sum_value,
+    min_value, max_value). The base (raw-data-touching) rollup."""
+    w = F.window(F.col(ts_col), window)
+    return (
+        points.groupBy("bucket", "metric", *extra_keys, w.alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            "metric",
+            *extra_keys,
+            F.col("w.start").alias("window_start"),
+            *TUPLE_COLS,
+        )
+    )
+
+
+def rollup_cascade(lower_tier: DataFrame, window: str) -> DataFrame:
+    """Re-rollup a lower tier into a coarser one using only the
+    decomposable tuples (sums of sums, min of mins, ...)."""
+    w = F.window(F.col("window_start"), window)
+    return (
+        lower_tier.groupBy("bucket", "metric", w.alias("w"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select("bucket", "metric", F.col("w.start").alias("window_start"), *TUPLE_COLS)
+    )
+
+
+def rollup_tier_salted(
+    points: DataFrame,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    salt_factor: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage skew-resistant rollup (north_rule: skew handled explicitly).
+
+    Stage 1 groups on (bucket, metric, window, salt) — the hot group's rows
+    land on ``salt_factor`` different reducers; stage 2 merges tuples on the
+    true key. Deterministic: salt derives from xxhash64 of the row's url
+    when present, else from the timestamp — NOT rand(), so replays and
+    salting-off comparisons are exact.
+    """
+    salt_src = F.coalesce(
+        F.xxhash64("url", F.lit(seed)), F.xxhash64(ts_col, F.lit(seed))
+    )
+    salted = points.withColumn("__salt", F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
+    stage1 = (
+        salted.groupBy("bucket", "metric", "__salt", F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        stage1.groupBy("bucket", "metric", "w")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select("bucket", "metric", F.col("w.start").alias("window_start"), *TUPLE_COLS)
+    )
+
+
+def with_avg(tier: DataFrame) -> DataFrame:
+    """avg is always derived sum/cnt — kept out of storage so tuples stay
+    decomposable across cascades."""
+    return tier.withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
+
+
+def repartition_for_write(tier: DataFrame, n_partitions: int, chunk: str = "1 hour") -> DataFrame:
+    """Explicit (bucket, chunk) output partitioning (north_rule): one
+    shuffle keyed on the layout downstream reads use, analogue of
+    beamium's per-(scraper, batch) file naming (src/scraper.rs:243)."""
+    chunked = tier.withColumn(
+        "chunk_start", F.date_trunc("hour" if chunk == "1 hour" else "day", "window_start")
+    )
+    return chunked.repartition(n_partitions, "bucket", "chunk_start")

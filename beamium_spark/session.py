@@ -58,4 +58,35 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship beamium_spark to executor Python workers (the ``spark-submit
+    --py-files`` path, done programmatically so driver scripts can run from
+    anywhere). No-op if already shipped in this session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_beamium_shipped", False):
+        return
+    import shutil
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "beamium_spark_pyfiles.zip")
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "beamium_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    shutil.move(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._beamium_shipped = True
