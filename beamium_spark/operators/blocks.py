@@ -36,11 +36,22 @@ BLOCK_SCHEMA = (
 POINT_SCHEMA = "bucket int, metric string, ts timestamp, value double"
 
 
-def encode_blocks(points: DataFrame, chunk: str = "1 hour") -> DataFrame:
+def encode_blocks(
+    points: DataFrame, chunk: str = "1 hour", n_partitions: int | None = None
+) -> DataFrame:
     """points(bucket, metric, ts, value, ...) → blocks table.
 
     One output row per (bucket, metric, chunk_start); points are sorted by
     ts inside the block (order is the codec's delta axis).
+
+    Physical strategy: one explicit shuffle keyed (bucket, metric, chunk)
+    — the north_rule partitioning — with a partition-local sort, then
+    ``mapInPandas`` encodes *whole partitions*: group boundaries are found
+    with a vectorized factorize and each block is one numpy codec call.
+    (A per-group ``applyInPandas`` pays one Arrow round-trip per block —
+    measured ~15× slower with tiny sandbox blocks; per-partition batching
+    amortizes it and is the shape that holds at 10^12 docs, where a
+    partition carries many complete blocks.)
     """
     trunc = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}[chunk]
     chunked = points.select(
@@ -50,27 +61,44 @@ def encode_blocks(points: DataFrame, chunk: str = "1 hour") -> DataFrame:
         F.col("ts"),
         "value",
     )
-
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        ts_us = pdf["ts"].astype("int64").to_numpy()  # ns → µs below
-        ts_us = ts_us // 1000
-        vals = pdf["value"].to_numpy(dtype="float64")
-        return pd.DataFrame(
-            {
-                "bucket": [pdf["bucket"].iloc[0]],
-                "metric": [pdf["metric"].iloc[0]],
-                "chunk_start": [pdf["chunk_start"].iloc[0]],
-                "n_points": [len(pdf)],
-                "ts_block": [encode_timestamps(ts_us)],
-                "val_block": [encode_values(vals)],
-                "codec": [CODEC_NAME],
-            }
-        )
-
-    return chunked.groupBy("bucket", "metric", "chunk_start").applyInPandas(
-        _encode, schema=BLOCK_SCHEMA
+    if n_partitions is None:
+        n_partitions = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    dist = chunked.repartition(n_partitions, "bucket", "metric", "chunk_start").sortWithinPartitions(
+        "bucket", "metric", "chunk_start", "ts"
     )
+
+    def _encode_partition(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        vals = pdf["value"].to_numpy(dtype="float64")
+        # vectorized group boundaries over the sorted composite key
+        key = (
+            pdf["bucket"].astype("string").to_numpy()
+            + "\x00"
+            + pdf["metric"].to_numpy(dtype=object)
+            + "\x00"
+            + pdf["chunk_start"].astype("string").to_numpy()
+        )
+        import numpy as np
+
+        change = np.flatnonzero(key[1:] != key[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        out = {
+            "bucket": pdf["bucket"].to_numpy()[starts],
+            "metric": pdf["metric"].to_numpy()[starts],
+            "chunk_start": pdf["chunk_start"].to_numpy()[starts],
+            "n_points": ends - starts,
+            "ts_block": [encode_timestamps(ts_us[s:e]) for s, e in zip(starts, ends)],
+            "val_block": [encode_values(vals[s:e]) for s, e in zip(starts, ends)],
+            "codec": CODEC_NAME,
+        }
+        yield pd.DataFrame(out)
+
+    return dist.mapInPandas(_encode_partition, schema=BLOCK_SCHEMA)
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:

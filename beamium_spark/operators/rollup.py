@@ -97,9 +97,12 @@ def rollup_tier_salted(
     when present, else from the timestamp — NOT rand(), so replays and
     salting-off comparisons are exact.
     """
-    salt_src = F.coalesce(
-        F.xxhash64("url", F.lit(seed)), F.xxhash64(ts_col, F.lit(seed))
-    )
+    if "url" in points.columns:
+        salt_src = F.coalesce(
+            F.xxhash64("url", F.lit(seed)), F.xxhash64(ts_col, F.lit(seed))
+        )
+    else:
+        salt_src = F.xxhash64(ts_col, F.lit(seed))
     salted = points.withColumn("__salt", F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
     stage1 = (
         salted.groupBy("bucket", "metric", "__salt", F.window(F.col(ts_col), window).alias("w"))

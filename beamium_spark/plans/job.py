@@ -1,0 +1,224 @@
+"""The rollup job driver: beamium's scrape→route→forward loop, Spark-first.
+
+One ``run()`` is a micro-batch pass (beamium's scrape tick,
+/root/reference/src/scraper.rs:90-135):
+
+1. discover work: distinct hour-chunks in the source minus committed
+   manifest chunks (anti-join resumability, src/router.rs:56-77);
+2. per pending chunk set: extract points → 1m rollup → idempotent
+   partition overwrite → Gorilla blocks → manifest commit with backoff;
+3. cascade: recompute 1h windows of the touched hours and 1d windows of
+   the touched days **from the tier below** (decomposable tuples — raw
+   data is read exactly once, by the 1m pass);
+4. retention pass per tier policy (TTL / size cap).
+
+Kill the driver at any point: data writes are per-chunk idempotent
+overwrites and the manifest row lands only after the write, so a rerun
+replays exactly the unforwarded chunks (the DFO guarantee, README.md:6).
+
+Scale notes: chunk discovery and manifests are tiny DataFrames; the only
+raw-data scan per pass is the 1m rollup over pending chunks, pruned by a
+``warc_ts`` range predicate that reaches the parquet row-group stats (the
+fixture is written time-sorted for exactly this reason).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beamium_spark.operators.blocks import encode_blocks
+from beamium_spark.operators.extract import extract_points
+from beamium_spark.operators.retention import size_cap_evict, ttl_evict
+from beamium_spark.operators.rollup import rollup_cascade, rollup_tier, rollup_tier_salted
+from beamium_spark.plans.checkpoint import Manifest, commit_with_retry, new_run_id
+from beamium_spark.sources.tables import ParquetTierStore
+
+
+@dataclass
+class RetentionPolicy:
+    ttl_hours: int | None = None
+    cap_bytes: int | None = None
+
+
+@dataclass
+class JobConf:
+    """Engine config; defaults echo the reference's capacity constants
+    (SURVEY.md §6)."""
+
+    n_buckets: int = 64
+    bucket_mode: str = "hash"
+    salt_factor: int = 0  # 0 = unsalted; >0 = two-stage skew-resistant agg
+    static_labels: dict = field(default_factory=dict)
+    drop_label_keys: list = field(default_factory=list)
+    metric_whitelist: str | None = None
+    write_blocks: bool = True
+    retention: dict = field(
+        default_factory=lambda: {
+            # 1m keeps 2 days, 1h keeps 2 weeks, 1d keeps forever
+            "rollup_1m": RetentionPolicy(ttl_hours=48),
+            "rollup_1h": RetentionPolicy(ttl_hours=14 * 24),
+            "rollup_1d": RetentionPolicy(),
+        }
+    )
+
+
+class RollupJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        state_root: str,
+        conf: JobConf | None = None,
+    ):
+        self.spark = spark
+        self.pages_path = pages_path
+        self.conf = conf or JobConf()
+        self.store = ParquetTierStore(spark, state_root)
+        self.manifest = Manifest(self.store)
+
+    # ---- discovery -------------------------------------------------------
+
+    def source_chunks(self) -> DataFrame:
+        pages = self.spark.read.parquet(self.pages_path)
+        return (
+            pages.select(F.date_trunc("hour", "warc_ts").alias("chunk_start"))
+            .distinct()
+        )
+
+    def pending_chunks(self) -> list:
+        rows = (
+            self.manifest.pending_chunks(self.source_chunks(), "rollup_1m")
+            .orderBy("chunk_start")
+            .collect()
+        )
+        return [r["chunk_start"] for r in rows]
+
+    # ---- one micro-batch pass -------------------------------------------
+
+    def run(self, max_chunks: int | None = None) -> dict:
+        run_id = new_run_id()
+        pending = self.pending_chunks()
+        if max_chunks is not None:
+            pending = pending[:max_chunks]
+        report = {"run_id": run_id, "chunks": len(pending)}
+        if not pending:
+            report.update(scraped=0, filtered=0, forwarded=0)
+            return report
+
+        lo, hi = min(pending), max(pending)
+        pages = self.spark.read.parquet(self.pages_path).filter(
+            # range + set predicate: range reaches row-group stats, the
+            # isin prunes interior committed chunks
+            (F.col("warc_ts") >= F.lit(lo))
+            & (F.col("warc_ts") < F.lit(hi) + F.expr("interval 1 hour"))
+            & F.date_trunc("hour", "warc_ts").isin(pending)
+        )
+        points = extract_points(
+            pages,
+            n_buckets=self.conf.n_buckets,
+            bucket_mode=self.conf.bucket_mode,
+            static_labels=self.conf.static_labels,
+            drop_label_keys=self.conf.drop_label_keys,
+            metric_whitelist=self.conf.metric_whitelist,
+        ).cache()
+        # one pass over cached points for both counters (no extra raw scan)
+        c = points.agg(
+            F.count("*").alias("n_points"),
+            F.count(F.when(F.col("metric") == "doc_count", 1)).alias("docs"),
+        ).collect()[0]
+        n_points, scraped = c["n_points"], c["docs"]
+        filtered = scraped * 4 - n_points  # lines dropped by F1-F3 guards
+
+        if self.conf.salt_factor:
+            t1m = rollup_tier_salted(
+                points, "1 minute", salt_factor=self.conf.salt_factor
+            )
+        else:
+            t1m = rollup_tier(points, "1 minute")
+        t1m = t1m.withColumn("chunk_start", F.date_trunc("hour", "window_start"))
+        forwarded = self._write_tier(t1m, "rollup_1m", run_id, pending, scraped, filtered)
+
+        if self.conf.write_blocks:
+            blocks = encode_blocks(
+                points.select("bucket", "metric", "ts", "value"), "1 hour"
+            )
+            self.store.write_chunks(blocks, "blocks", "chunk_start")
+
+        # cascades from the tier below, recomputed for every *date* touched:
+        # tier writes are dynamic overwrites of whole chunk_date partitions,
+        # so the rewritten partitions must be complete days, not just the
+        # hours of this pass
+        touched_days = sorted({h.replace(hour=0, minute=0, second=0) for h in pending})
+        touched_dates = [d.date() for d in touched_days]
+        t1h = (
+            rollup_cascade(
+                self.store.read("rollup_1m").filter(
+                    F.to_date("window_start").isin(touched_dates)
+                ),
+                "1 hour",
+            )
+            .withColumn("chunk_start", F.col("window_start"))
+        )
+        fwd_1h = self._write_tier(t1h, "rollup_1h", run_id, pending, 0, 0)
+        t1d = (
+            rollup_cascade(
+                self.store.read("rollup_1h").filter(
+                    F.to_date("window_start").isin(touched_dates)
+                ),
+                "1 day",
+            )
+            .withColumn("chunk_start", F.col("window_start"))
+        )
+        fwd_1d = self._write_tier(t1d, "rollup_1d", run_id, touched_days, 0, 0)
+
+        points.unpersist()
+        report.update(
+            scraped=scraped,
+            filtered=filtered,
+            forwarded=forwarded,
+            forwarded_1h=fwd_1h,
+            forwarded_1d=fwd_1d,
+        )
+        return report
+
+    def _write_tier(
+        self, tier_df: DataFrame, table: str, run_id: str, chunks: list,
+        scraped: int, filtered: int,
+    ) -> int:
+        tier_df = tier_df.cache()
+        forwarded = tier_df.count()
+
+        def do_commit():
+            self.store.write_chunks(tier_df, table, "chunk_start")
+            self.manifest.commit(
+                run_id, chunks, table, scraped=scraped, filtered=filtered,
+                forwarded=forwarded,
+            )
+
+        commit_with_retry(do_commit)
+        tier_df.unpersist()
+        return forwarded
+
+    # ---- retention -------------------------------------------------------
+
+    def apply_retention(self, now_ts: str) -> dict:
+        out = {}
+        for table, pol in self.conf.retention.items():
+            if pol.ttl_hours is not None and self.store.exists(table):
+                out[table] = ttl_evict(self.store, table, now_ts, pol.ttl_hours)
+            if pol.cap_bytes is not None and self.store.exists(table):
+                out.setdefault(table, {}).update(
+                    size_cap_evict(self.store, table, pol.cap_bytes)
+                )
+        return out
+
+    # ---- readback --------------------------------------------------------
+
+    def tier(self, name: str) -> DataFrame:
+        return self.store.read(name).drop("chunk_key", "chunk_start")
+
+    def counters(self) -> DataFrame:
+        return self.manifest.counters()

@@ -27,6 +27,7 @@ def get_spark(
     this should be ~2-3x total executor cores instead.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mem = os.environ.get("BEAMIUM_SPARK_DRIVER_MEM", "16g")
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -50,9 +51,19 @@ def get_spark(
         # parquet timestamp[us] (no tz) → TIMESTAMP in UTC session, matching
         # DuckDB's naive-UTC reading of the same files for oracle comparison
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("BEAMIUM_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # multi-KiB binary html cells thrash the allocator if the heap can
+        # grow/uncommit (microVM refaults are expensive and erratic —
+        # measured 10-60x jitter): pin Xms=Xmx, pre-touch once, and use
+        # large G1 regions so big byte[]s aren't humongous. Smaller
+        # columnar batches bound per-task buffers.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:G1HeapRegionSize=32m -Xms{mem} -XX:+AlwaysPreTouch",
+        )
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -167,7 +167,10 @@ def generate_web_pages(sf: float, out_dir: str) -> str:
         schema,
         compression="snappy",
     )
-    batch_rows = 50_000
+    # ~4k rows x ~26 KiB (html+text) ≈ 100 MiB per row group: row groups
+    # are parquet's split unit — fat-binary tables need small row counts
+    # per group or scan parallelism collapses to #groups
+    batch_rows = 4096
     pre, suf = _PREFIX, _SUFFIX
     for lo in range(0, n, batch_rows):
         hi = min(lo + batch_rows, n)

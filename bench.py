@@ -1,0 +1,117 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", plus docs/sec and parallelism context}.
+
+Scaling evidence (north_rule N vs 4N): run ``python bench.py`` twice with
+``SPARK_GRAFT_CPUS=8`` and ``=32`` (fresh process each — one JVM per
+parallelism level); ``scripts/scaling_bench.py`` automates that and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from beamium_spark.operators.blocks import encode_blocks
+    from beamium_spark.operators.extract import extract_points
+    from beamium_spark.operators.gapfill import gapfill
+    from beamium_spark.operators.rollup import rollup_cascade, rollup_tier
+    from beamium_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    sf = entrymod._sf_of(sf_dir)
+    spark = get_spark(
+        app_name="beamium_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    pages_path = entrymod._fixture(sf)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    timings: dict[str, float] = {}
+    runs = int(os.environ.get("BEAMIUM_BENCH_RUNS", "3"))
+
+    def timed(name, fn):
+        # median of N runs: the microVM shows multi-second jitter on large
+        # binary scans, medians keep the scaling comparison honest
+        samples = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn()
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+
+    # warm-up: JVM/codegen + page-cache priming, not timed
+    extract_points(pages, bucket_mode="site").filter(
+        F.col("metric") == "doc_count"
+    ).groupBy("bucket").count().count()
+
+    def _points():
+        return extract_points(pages, bucket_mode="site")
+
+    # headline 1: the full tier cascade (raw scan + 3 windowed aggs)
+    def q_tier_cascade():
+        t1m = rollup_tier(_points(), "1 minute")
+        t1d = rollup_cascade(rollup_cascade(t1m, "1 hour"), "1 day")
+        t1d.count()
+
+    # headline 2: dense 1m tier (rollup + grid join)
+    def q_gapfill():
+        t = rollup_tier(_points().filter(F.col("metric") == "doc_count"), "1 minute")
+        gapfill(t, "1 minute", strategy="zero").count()
+
+    # headline 3: Gorilla block encode (Arrow/pandas UDF path)
+    def q_block_encode():
+        encode_blocks(
+            _points().select("bucket", "metric", "ts", "value"), "1 hour"
+        ).agg(F.sum("n_points")).collect()
+
+    # headline 4: events table rollup (driver-provided testdata)
+    def q_events_rollup():
+        entrymod._q_events_rollup_1m(spark, sf_dir).count()
+
+    timed("tier_cascade", q_tier_cascade)
+    timed("gapfill_zero_1m", q_gapfill)
+    timed("block_encode", q_block_encode)
+    timed("events_rollup_1m", q_events_rollup)
+
+    total = round(sum(timings.values()), 3)
+    # docs/sec over the raw-data-touching headline (the cascade)
+    docs_per_sec = round(n_docs / timings["tier_cascade"], 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rollup suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+                "parallelism": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Resumability / exactly-once (FIXTURES.md F-4 scenario 3): kill after a
+partial pass; rerun; replay touches exactly the unforwarded chunks and the
+final state equals an uninterrupted run."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from beamium_spark.plans.job import JobConf, RollupJob
+from beamium_spark.sources.synth import ensure_web_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path():
+    return ensure_web_pages(0.0003)
+
+
+def _assert_same(a, b):
+    cols = sorted(set(a.columns) & set(b.columns))
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    assert a.count() == b.count()
+
+
+def test_full_run_then_noop(spark, pages_path, tmp_path):
+    job = RollupJob(spark, pages_path, str(tmp_path / "s"), JobConf(bucket_mode="site"))
+    r1 = job.run()
+    assert r1["chunks"] > 0
+    assert r1["scraped"] > 0
+    assert r1["forwarded"] > 0
+    # second pass: everything committed → no work
+    r2 = job.run()
+    assert r2["chunks"] == 0
+    # counters surfaced per tier
+    ctr = {r["tier"]: r for r in job.counters().collect()}
+    assert ctr["rollup_1m"]["scraped"] == r1["scraped"]
+
+
+def test_kill_and_replay_equals_uninterrupted(spark, pages_path, tmp_path):
+    conf = JobConf(bucket_mode="site")
+    # interrupted: process only 5 chunks, "crash", then resume the rest
+    killed = RollupJob(spark, pages_path, str(tmp_path / "killed"), conf)
+    first = killed.run(max_chunks=5)
+    assert first["chunks"] == 5
+    remaining = killed.pending_chunks()
+    assert len(remaining) > 0
+    second = killed.run()  # resume
+    assert second["chunks"] == len(remaining)
+    assert killed.pending_chunks() == []
+
+    # uninterrupted reference run
+    ref = RollupJob(spark, pages_path, str(tmp_path / "ref"), conf)
+    ref.run()
+
+    for tier in ("rollup_1m", "rollup_1h", "rollup_1d"):
+        _assert_same(killed.tier(tier), ref.tier(tier))
+
+
+def test_replay_after_data_write_without_manifest(spark, pages_path, tmp_path):
+    """Kill between tier write and manifest commit → chunk is replayed and
+    the idempotent overwrite leaves no duplicates."""
+    conf = JobConf(bucket_mode="site", write_blocks=False)
+    job = RollupJob(spark, pages_path, str(tmp_path / "s"), conf)
+    job.run()
+    ref_count = job.tier("rollup_1m").count()
+
+    # simulate the torn state: delete the last manifest commit for one chunk
+    manifest = job.manifest.read().cache()
+    victim = manifest.filter(F.col("tier") == "rollup_1m").orderBy("chunk_start").first()
+    trimmed = manifest.filter(
+        ~((F.col("tier") == "rollup_1m") & (F.col("chunk_start") == victim["chunk_start"]))
+    ).localCheckpoint()
+    job.store.drop("checkpoint_manifest")
+    job.store.append(trimmed, "checkpoint_manifest")
+
+    assert job.pending_chunks() == [victim["chunk_start"]]
+    job.run()
+    assert job.tier("rollup_1m").count() == ref_count  # no dupes
+    assert job.pending_chunks() == []
+
+
+def test_salted_job_equals_unsalted(spark, pages_path, tmp_path):
+    a = RollupJob(spark, pages_path, str(tmp_path / "a"),
+                  JobConf(bucket_mode="site", salt_factor=8, write_blocks=False))
+    b = RollupJob(spark, pages_path, str(tmp_path / "b"),
+                  JobConf(bucket_mode="site", write_blocks=False))
+    a.run()
+    b.run()
+    _assert_same(a.tier("rollup_1m"), b.tier("rollup_1m"))
+
+
+def test_backoff_retry():
+    from beamium_spark.plans.checkpoint import commit_with_retry
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise RuntimeError("transient")
+        return "ok"
+
+    import random
+    assert (
+        commit_with_retry(flaky, sleep=sleeps.append, rng=random.Random(42)) == "ok"
+    )
+    assert len(sleeps) == 3
+    # exponential growth with beamium's x1.5, +-0.3 jitter
+    assert 0.35 <= sleeps[0] <= 0.65
+    assert sleeps[1] > sleeps[0] * 0.9
+
+    def always_fails():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError, match="commit failed"):
+        commit_with_retry(always_fails, max_attempts=2, sleep=lambda _s: None)

@@ -1,0 +1,65 @@
+"""Retention semantics (FIXTURES.md F-4 scenario 4): TTL evicts exactly the
+expired windows; size cap drops oldest-first (reference src/sink.rs:101-146,
+172-222)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from beamium_spark.operators.retention import size_cap_plan, ttl_evict, size_cap_evict
+from beamium_spark.plans.job import JobConf, RetentionPolicy, RollupJob
+from beamium_spark.sources.synth import ensure_web_pages
+
+
+@pytest.fixture(scope="module")
+def job(spark, tmp_path_factory):
+    j = RollupJob(
+        spark,
+        ensure_web_pages(0.0003),
+        str(tmp_path_factory.mktemp("ret") / "s"),
+        JobConf(bucket_mode="site", write_blocks=False),
+    )
+    j.run()
+    return j
+
+
+def test_ttl_evicts_exactly_expired(spark, job):
+    # data spans 3 days from 2025-01-01; pretend "now" is end of day 3
+    before = job.tier("rollup_1m").count()
+    kept_expected = (
+        job.store.read("rollup_1m")
+        .filter(F.col("chunk_start") >= F.lit("2025-01-02 00:00:00").cast("timestamp"))
+        .count()
+    )
+    out = ttl_evict(job.store, "rollup_1m", "2025-01-04T00:00:00", ttl_hours=48)
+    after = job.tier("rollup_1m").count()
+    assert after == kept_expected
+    assert out["expired_partitions"] + out["expired_rows"] > 0
+    assert after < before
+    # reruns are stable (nothing more to evict)
+    out2 = ttl_evict(job.store, "rollup_1m", "2025-01-04T00:00:00", ttl_hours=48)
+    assert out2["expired_partitions"] == 0 and out2["expired_rows"] == 0
+
+
+def test_size_cap_plan_oldest_first(spark):
+    sizes = spark.createDataFrame(
+        [("2025-01-01 00:00:00", 100), ("2025-01-01 01:00:00", 100),
+         ("2025-01-01 02:00:00", 100), ("2025-01-01 03:00:00", 100)],
+        "chunk_start string, bytes long",
+    ).withColumn("chunk_start", F.col("chunk_start").cast("timestamp"))
+    doomed = size_cap_plan(sizes, cap_bytes=250)
+    got = sorted(str(r["chunk_start"]) for r in doomed.collect())
+    # newest 2 chunks fit within 250; the two OLDEST are evicted
+    assert got == ["2025-01-01 00:00:00", "2025-01-01 01:00:00"]
+
+
+def test_size_cap_evict_on_store(spark, job):
+    sizes = (
+        job.store.read("rollup_1h").groupBy("chunk_start").count().count()
+    )
+    assert sizes > 1
+    out = size_cap_evict(job.store, "rollup_1h", cap_bytes=64 * 5)  # keep ~5 rows worth
+    assert out["evicted_chunks"] > 0
+    assert out["evicted_rows"] > 0
+    # survivors are the newest chunks
+    mn = job.store.read("rollup_1h").agg(F.min("chunk_start").alias("m")).collect()[0]["m"]
+    assert str(mn) >= "2025-01-03 00:00:00"
