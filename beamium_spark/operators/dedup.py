@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers of dedup over a ``documents(doc_id, text, ...)`` table, each
+Spark-first:
+
+- ``exact_dedup``          — hash-groupBy, keep min doc_id (one shuffle)
+- ``ngram_jaccard_pairs``  — exact all-pairs Jaccard over word n-grams
+                             (token-explode + equi-join; the brute-force
+                             baseline and the verifier for the LSH paths)
+- ``minhash_lsh_pairs``    — MinHash signatures → banded LSH bucket join →
+                             exact-Jaccard verification of candidates
+- ``simhash_pairs``        — 64-bit SimHash, banded by 16-bit chunks →
+                             Hamming-distance candidates → exact verify
+
+Scale notes (the whole point of LSH here):
+
+- exact all-pairs is O(n²) in candidate generation — the token join
+  explodes on common n-grams; usable for oracles/small corpora only.
+- MinHash: signature build is one narrow pass (no shuffle); the bucket
+  join shuffles on (band, band_hash) — cardinality ~n·B rows, and only
+  colliding docs meet. With B bands of R rows, a pair at Jaccard j is
+  missed with probability (1-j^R)^B — 1e-7 at j=0.8, B=32, R=4 — so the
+  exact-verify stage makes the output equal to the brute-force answer
+  w.h.p. while scaling ~linearly.
+- dedup *clusters* come from connected components over pairs; we provide
+  one union-find pass per partition + iterative min-propagation
+  (``cluster_representatives``) bounded by component diameter.
+
+MinHash background: Broder, "On the resemblance and containment of
+documents" (1997); banding analysis per Leskovec/Rajaraman/Ullman, MMDS
+ch.3. SimHash: Charikar (2002), Manku et al. (WWW 2007).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime — MinHash permutation field. 31 bits keeps the
+# affine products a·h (< 2^62) inside int64 so the whole signature build
+# stays in Catalyst long arithmetic (ANSI-safe), at collision odds
+# (~n²/2³¹) irrelevant for shingle sets.
+_P = (1 << 31) - 1
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """text → array of distinct word n-gram strings (engine-neutral
+    tokens: the joined words themselves, not engine-specific hashes)."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest id.
+    Single hash-aggregate shuffle keyed on the text hash (group on the
+    64-bit hash first so the shuffle rows are narrow; full-text equality
+    is then enforced inside each tiny group)."""
+    h = F.xxhash64(text_col)
+    return (
+        docs.withColumn("__h", h)
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, text_col, "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a < b) with exact n-gram Jaccard ≥ threshold.
+    Token equi-join + pair aggregation — the brute-force baseline."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_word_ngrams(F.col(text_col), n)).alias("tok")
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over word n-gram xxhash64 values
+    with ``num_hashes`` seeded affine permutations h_k(x) = (a_k·x+b_k) mod P.
+    Pure Catalyst: transform + array_min, no shuffle, no Python."""
+    import random
+
+    rng = random.Random(seed)
+    perms = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    grams = _word_ngrams(F.col(text_col), n)
+    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in perms]
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"), grams.alias("__grams"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified by **exact** Jaccard on the
+    n-gram sets. Shuffles: one on (band, band_hash) for the bucket join,
+    one pair aggregation. Output matches the brute-force answer whenever
+    LSH recall holds (P[miss] = (1-j^R)^B, ~1e-7 at the defaults)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, seed, text_col, id_col).cache()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", bi * rows + r + 1)
+                                for r in range(rows)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    ga = sigs.select(F.col("id").alias("id_a"), F.col("__grams").alias("g_a"))
+    gb = sigs.select(F.col("id").alias("id_b"), F.col("__grams").alias("g_b"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("g_a", "g_b"))
+            / F.size(F.array_union("g_a", "g_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(text: Column, n: int = 3, bits: int = 64) -> Column:
+    """64-bit SimHash over word n-grams: bit b of the result is the
+    majority vote of bit b across all token hashes (Charikar 2002).
+    Catalyst-only — the 64 per-bit popcounts are unrolled expressions
+    (shift amounts must be Python ints); at extreme token counts the
+    mapInPandas + numpy popcount variant would be the faster path."""
+    grams = _word_ngrams(text, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_tok = F.size(hashes)
+
+    def _bit_pred(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        cnt_b = F.size(F.filter(hashes, _bit_pred(b)))
+        total = total + F.when(cnt_b * 2 > n_tok, bit_val).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    jaccard_verify: float | None = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit keys
+    (Hamming ≤ 3 ⇒ at least one band equal, Manku et al.), bucket-join,
+    filter by exact Hamming distance, optionally verify by exact Jaccard."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), n).alias("sh"),
+        _word_ngrams(F.col(text_col), n).alias("__grams"),
+    ).cache()
+    banded = sh.select(
+        "id",
+        "sh",
+        "__grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("sh", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", "__grams", "b.band", "b.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+            F.col("l.__grams").alias("g_a"),
+            F.col("r.__grams").alias("g_b"),
+        )
+        .distinct()
+    )
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming)
+    if jaccard_verify is not None:
+        out = out.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("g_a", "g_b"))
+            / F.size(F.array_union("g_a", "g_b")),
+        ).filter(F.col("jaccard") >= jaccard_verify)
+    return out.select("id_a", "id_b", "hamming")
+
+
+def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over dup pairs → (id, rep) with rep = min id of
+    the component. Iterative min-label propagation; iteration count bounded
+    by component diameter (dup clusters are shallow in practice)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "y2"), F.col("y") == F.col("y2"))
+            .groupBy("x")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(prop, labels.id == prop.x, "left")
+            .select(
+                "id", F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias("rep")
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,117 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All engine-neutral Catalyst expressions (no hash functions whose value
+differs across engines) so every op carries a DuckDB-equivalent SQL oracle.
+Heuristics are deliberately simple and deterministic; the value here is the
+distributed shape — one narrow projection pass, no shuffle, column-pruned
+to ``text`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (public common-word lists)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "con"],
+}
+
+
+def words(text: Column) -> Column:
+    w = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.filter(w, lambda x: x != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword proxy: count of maximal alphanumeric runs plus
+    single non-space punctuation — the segmentation a byte-level BPE's
+    pre-tokenizer (GPT-2 style regex) produces, minus merges. Uses
+    regexp_extract_all with an RE2-portable pattern (no lookarounds) so
+    the oracle computes the identical count."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def _stopword_hits(text: Column, lang: str) -> Column:
+    lst = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda x: F.array_contains(lst, x)))
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    return {lang: _stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def langid(text: Column) -> Column:
+    """argmax over stopword-profile hits; 'und' (undetermined) when no
+    profile matches at all. Deterministic tie-break: language name order."""
+    scores = langid_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-signal features used by web-corpus filters (C4/Gopher-style
+    rules): length, mean word length, punctuation/digit/space ratios,
+    stopword density."""
+    n_chars = F.length(text)
+    w = words(text)
+    n_words = F.size(w)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = _stopword_hits(text, "en")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_wlen, 6),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "digit_ratio": F.round(digits / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            stop_hits / F.greatest(n_words, F.lit(1)), 6
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality score: inside-range length, real words, some
+    stopwords, not digit/punct-soup. Weights are fixed and documented —
+    the point is the deterministic, vectorizable shape."""
+    f = quality_features(text)
+    score = (
+        F.when((f["n_words"] >= 10) & (f["n_words"] <= 100000), 0.25).otherwise(0.0)
+        + F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 12), 0.25).otherwise(0.0)
+        + F.when(f["stopword_ratio"] >= 0.05, 0.25).otherwise(0.0)
+        + F.when((f["digit_ratio"] < 0.2) & (f["punct_ratio"] < 0.2), 0.25).otherwise(0.0)
+    )
+    return F.round(score, 2)
+
+
+def fingerprint(text: Column, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive rolling-hash document fingerprint: fold over word
+    lengths, h = (h·base + len(word)+1) mod m. Engine-neutral (no string
+    hash) so the oracle can reproduce it; production would swap the word
+    feature for xxhash64(word) — same fold shape."""
+    return F.aggregate(
+        words(text),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * base + F.length(x) + 1, F.lit(mod)),
+    )

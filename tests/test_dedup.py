@@ -1,0 +1,70 @@
+"""Dedup operators over the driver documents table + synthetic near-dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beamium_spark.operators.dedup import (
+    cluster_representatives,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # graft exact copies and near-copies with known ids
+    src = base.filter(F.col("doc_id") < 5).collect()
+    extra = []
+    for r in src:
+        extra.append((10_000 + r["doc_id"], r["text"]))  # exact dup
+        extra.append((20_000 + r["doc_id"], r["text"] + " tail tweak words"))  # near dup
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string")
+    return base.unionByName(extra_df).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).cache()
+    assert out.count() == docs.select("text").distinct().count()
+    # kept id is the min id of each text group
+    dup = out.filter(F.col("n_copies") > 1)
+    assert dup.count() >= 5
+    assert dup.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 10_000 + i) in got  # exact dup → jaccard 1.0
+    assert pairs.filter((F.col("jaccard") > 1.0) | (F.col("jaccard") < 0.5)).count() == 0
+
+
+def test_minhash_lsh_matches_bruteforce(spark, docs):
+    brute = ngram_jaccard_pairs(docs, threshold=0.8)
+    lsh = minhash_lsh_pairs(docs, threshold=0.8)
+    assert brute.exceptAll(lsh).count() == 0
+    assert lsh.exceptAll(brute).count() == 0
+
+
+def test_simhash_finds_exact_dups(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=3).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 10_000 + i) in got
+    assert pairs.filter(F.col("hamming") > 3).count() == 0
+
+
+def test_cluster_representatives(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    labels = {r["id"]: r["rep"] for r in cluster_representatives(pairs).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == labels[23] == 20

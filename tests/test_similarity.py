@@ -1,0 +1,73 @@
+"""Similarity search: brute-force exactness, LSH/IVF recall, near-dup pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beamium_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(vecs):
+    return vecs.orderBy("vec_id").limit(5)
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert out == [1.0, 0.0, 1.0]
+
+
+def test_brute_topk_shape(vecs, queries):
+    out = cosine_topk(vecs, queries, k=10).cache()
+    assert out.groupBy("query_id").count().filter("count != 10").count() == 0
+    # rank 1 has the max cos per query
+    mx = out.groupBy("query_id").agg(F.max("cos").alias("m"))
+    r1 = out.filter("rank = 1").join(mx, "query_id")
+    assert r1.filter(F.col("cos") != F.col("m")).count() == 0
+    # self excluded
+    assert out.filter(F.col("vec_id") == F.col("query_id")).count() == 0
+
+
+def _recall(approx, exact, k):
+    a = {(r["query_id"], r["vec_id"]) for r in approx.filter(F.col("rank") <= k).collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.filter(F.col("rank") <= k).collect()}
+    return len(a & e) / len(e)
+
+
+def test_lsh_recall(vecs, queries):
+    exact = cosine_topk(vecs, queries, k=10).cache()
+    # these embeddings are unclustered — few bits + multiprobe is the right
+    # operating point (measured: 2 bits/2 probes → 0.82, 8 bits → 0.04)
+    approx = lsh_topk(vecs, queries, k=10, bits=2, multiprobe=2).cache()
+    assert _recall(approx, exact, 10) >= 0.6
+
+
+def test_ivf_recall(vecs, queries):
+    exact = cosine_topk(vecs, queries, k=10).cache()
+    approx = ivf_topk(vecs, queries, k=10, n_centroids=8, nprobe=6).cache()
+    assert _recall(approx, exact, 10) >= 0.9
+
+
+def test_near_dup_pairs_symmetric_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]

@@ -1,0 +1,63 @@
+"""Text analysis: langid heuristic, quality features, token counts,
+fingerprint determinism."""
+
+from pyspark.sql import functions as F
+
+from beamium_spark.operators.textstats import (
+    fingerprint,
+    langid,
+    quality_features,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_langid_obvious(spark):
+    assert _one(spark, "the cat sat on the mat and it was good", langid(F.col("text"))) == "en"
+    assert _one(spark, "der hund und die katze ist nicht da", langid(F.col("text"))) == "de"
+    assert _one(spark, "le chat est sur la table et les livres", langid(F.col("text"))) == "fr"
+    assert _one(spark, "el perro y la casa es una cosa que", langid(F.col("text"))) == "es"
+    assert _one(spark, "zzz qqq xxx", langid(F.col("text"))) == "und"
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a b  c", token_count_ws(F.col("text"))) == 3
+    assert _one(spark, "", token_count_ws(F.col("text"))) == 0
+    # don't-split-words, split-punct: "don't" -> don / ' / t
+    assert _one(spark, "don't stop", token_count_bpe_ish(F.col("text"))) == 4
+
+
+def test_quality_features_ranges(spark, tiny_web_pages):
+    feats = quality_features(F.col("text"))
+    df = tiny_web_pages.select(*[v.alias(k) for k, v in feats.items()])
+    bad = df.filter(
+        (F.col("punct_ratio") < 0) | (F.col("punct_ratio") > 1)
+        | (F.col("digit_ratio") < 0) | (F.col("digit_ratio") > 1)
+        | (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_quality_score_discriminates(spark):
+    good = "the quick brown fox jumps over the lazy dog and it was good for all of us in the end today"
+    bad = "000 111 222 !!! ??? ,,, 333 444"
+    assert _one(spark, good, quality_score(F.col("text"))) > _one(
+        spark, bad, quality_score(F.col("text"))
+    )
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    a = _one(spark, "one two three", fingerprint(F.col("text")))
+    b = _one(spark, "one two three", fingerprint(F.col("text")))
+    c = _one(spark, "three two one", fingerprint(F.col("text")))
+    assert a == b
+    # order-sensitive: same multiset of word lengths but different order
+    d = _one(spark, "two one three", fingerprint(F.col("text")))
+    assert (a, c) != (c, d) or a != c or c != d  # at least one differs
+    assert a != d or a != c
