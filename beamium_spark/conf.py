@@ -1,0 +1,150 @@
+"""Engine configuration: beamium's config surface, re-expressed.
+
+The reference merges layered hjson/json/toml/yaml/ini files with env
+interpolation (/root/reference/src/conf.rs:101-184, 569-690). The engine
+is a library driven by ``spark-submit``, so config is one JSON/YAML file
+(or dict) parsed into the dataclasses below. Preserved semantics:
+
+- ``env:VAR`` label values resolve from the environment
+  (src/conf.rs:588-602);
+- ``BEAMIUM_LABEL_<name>`` env vars inject global labels
+  (src/conf.rs:604-609);
+- scraper fields: format (prometheus|sensision), period, metrics
+  (whitelist regexes, src/conf.rs:228-233), labels;
+- sink fields: url→table, selector (anchored class regex,
+  src/conf.rs:329-336), ttl (default 1h, :350-359), size (default 1 GiB,
+  :361-372), parallel (:374-377);
+- parameters: batch-size 200 kB / batch-count 250 / scan-period 1s /
+  backoff 500ms→1m ×1.5 ±0.3 (src/conf.rs:122-138).
+
+Hot reload (src/main.rs:148-205) maps to "restart the job from
+checkpoint": all state is in the manifest, so a config change is a stop +
+rerun — the resume path replays only unforwarded chunks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ScraperConf:
+    name: str = "scraper"
+    format: str = "prometheus"  # or "sensision" (conf.rs:187-205)
+    period_s: int = 60
+    metrics: list[str] = field(default_factory=list)  # whitelist regexes
+    labels: dict = field(default_factory=dict)
+
+
+@dataclass
+class SinkConf:
+    name: str = "sink"
+    table: str = "rollup_1m"
+    selector: str | None = None
+    ttl_hours: float = 1.0
+    size_bytes: int = 1 << 30
+    parallel: int = 1
+
+
+@dataclass
+class ParametersConf:
+    batch_size: int = 200_000
+    batch_count: int = 250
+    scan_period_s: float = 1.0
+    backoff_initial_s: float = 0.5
+    backoff_max_s: float = 60.0
+    backoff_multiplier: float = 1.5
+    backoff_randomization: float = 0.3
+
+
+@dataclass
+class EngineConf:
+    scrapers: list[ScraperConf] = field(default_factory=list)
+    sinks: list[SinkConf] = field(default_factory=list)
+    parameters: ParametersConf = field(default_factory=ParametersConf)
+    labels: dict = field(default_factory=dict)  # global labels (router P3)
+
+
+_ENV_RE = re.compile(r"^env:(\w+)$")
+
+
+def _resolve_env(value):
+    """``env:VAR`` → os.environ['VAR'] (conf.rs:588-602)."""
+    if isinstance(value, str):
+        m = _ENV_RE.match(value)
+        if m:
+            var = m.group(1)
+            if var not in os.environ:
+                raise KeyError(f"config references undefined env var {var}")
+            return os.environ[var]
+    return value
+
+
+def _env_labels(prefix: str = "BEAMIUM_LABEL_") -> dict:
+    """BEAMIUM_LABEL_foo=bar → {'foo': 'bar'} (conf.rs:604-609)."""
+    return {
+        k[len(prefix):].lower(): v
+        for k, v in os.environ.items()
+        if k.startswith(prefix)
+    }
+
+
+def load_conf(source) -> EngineConf:
+    """dict | JSON/YAML file path → EngineConf with env interpolation."""
+    if isinstance(source, str):
+        with open(source) as f:
+            text = f.read()
+        try:
+            raw = json.loads(text)
+        except json.JSONDecodeError:
+            try:
+                import yaml  # type: ignore
+
+                raw = yaml.safe_load(text)
+            except ImportError as e:
+                raise ValueError(
+                    "config is not JSON and PyYAML is unavailable"
+                ) from e
+    else:
+        raw = dict(source)
+
+    def labels_of(d: dict) -> dict:
+        return {k: _resolve_env(v) for k, v in (d or {}).items()}
+
+    scrapers = [
+        ScraperConf(
+            name=name,
+            format=s.get("format", "prometheus"),
+            period_s=int(s.get("period", 60000)) // 1000,
+            metrics=list(s.get("metrics", [])),
+            labels=labels_of(s.get("labels", {})),
+        )
+        for name, s in (raw.get("scrapers") or {}).items()
+    ]
+    sinks = [
+        SinkConf(
+            name=name,
+            table=s.get("table", name),
+            selector=s.get("selector"),
+            ttl_hours=float(s.get("ttl", 3600)) / 3600.0,
+            size_bytes=int(s.get("size", 1 << 30)),
+            parallel=int(s.get("parallel", 1)),
+        )
+        for name, s in (raw.get("sinks") or {}).items()
+    ]
+    p = raw.get("parameters") or {}
+    params = ParametersConf(
+        batch_size=int(p.get("batch-size", 200_000)),
+        batch_count=int(p.get("batch-count", 250)),
+        scan_period_s=float(p.get("scan-period", 1000)) / 1000.0,
+        backoff_initial_s=float(p.get("backoff", {}).get("initial", 500)) / 1000.0,
+        backoff_max_s=float(p.get("backoff", {}).get("max", 60000)) / 1000.0,
+        backoff_multiplier=float(p.get("backoff", {}).get("multiplier", 1.5)),
+        backoff_randomization=float(p.get("backoff", {}).get("randomization", 0.3)),
+    )
+    labels = labels_of(raw.get("labels", {}))
+    labels.update(_env_labels())
+    return EngineConf(scrapers=scrapers, sinks=sinks, parameters=params, labels=labels)

