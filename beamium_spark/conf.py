@@ -92,22 +92,126 @@ def _env_labels(prefix: str = "BEAMIUM_LABEL_") -> dict:
     }
 
 
+_HJSON_LINE_COMMENT = re.compile(r"^\s*(//|#)")
+_TRAILING_COMMA = re.compile(r",(\s*[}\]])")
+
+
+def _parse_text(text: str, ext: str) -> dict:
+    """Parse one config document. Formats mirror the reference's loader
+    (hjson/json/toml/yaml/ini, src/conf.rs:569-690): json & yaml natively,
+    toml via stdlib tomllib, ini via configparser (sections → nested
+    dicts), hjson via a tolerant reduction (//-and-#-comment lines and
+    trailing commas stripped, then json)."""
+    ext = ext.lower().lstrip(".")
+    if ext == "toml":
+        import tomllib
+
+        return tomllib.loads(text)
+    if ext == "ini":
+        import configparser
+
+        cp = configparser.ConfigParser()
+        cp.read_string(text)
+        return {s: dict(cp.items(s)) for s in cp.sections()}
+    if ext in ("yaml", "yml"):
+        import yaml  # type: ignore
+
+        return yaml.safe_load(text) or {}
+    if ext == "hjson":
+        lines = [
+            ln for ln in text.splitlines() if not _HJSON_LINE_COMMENT.match(ln)
+        ]
+        return json.loads(_TRAILING_COMMA.sub(r"\1", "\n".join(lines)))
+    # json or unknown: try json, fall back to yaml
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml  # type: ignore
+
+            return yaml.safe_load(text) or {}
+        except ImportError as e:
+            raise ValueError("config is not JSON and PyYAML is unavailable") from e
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    """Later layer wins per key; dicts merge recursively (the reference's
+    layered set_* merge, src/conf.rs:101-184)."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def default_config_layers() -> list[str]:
+    """The reference's search order: /etc/beamium, then $HOME/.beamium,
+    then an explicit file (src/conf.rs:101-122)."""
+    home = os.path.expanduser("~")
+    cands = []
+    for base in ("/etc/beamium", os.path.join(home, ".beamium")):
+        for ext in ("json", "yaml", "yml", "toml", "ini", "hjson"):
+            cands.append(os.path.join(base, f"config.{ext}"))
+    return [c for c in cands if os.path.isfile(c)]
+
+
+def load_conf_layered(paths: list[str]) -> EngineConf:
+    """Merge config documents in order (later wins) and build EngineConf."""
+    raw: dict = {}
+    for p in paths:
+        with open(p) as f:
+            raw = _deep_merge(raw, _parse_text(f.read(), os.path.splitext(p)[1]))
+    return load_conf(raw)
+
+
+def watch_and_rerun(
+    path: str,
+    on_change,
+    poll_s: float = 0.5,
+    debounce_s: float = 2.0,
+    max_iters: int | None = None,
+    sleep=None,
+):
+    """Hot-reload driver loop: poll the config file's mtime; after a change
+    has been stable for ``debounce_s`` (the reference's 2 s debounce,
+    src/conf.rs:622, restart at src/main.rs:148-205), invoke
+    ``on_change(EngineConf)``. The callee restarts the job from checkpoint,
+    so the rerun replays exactly the unforwarded chunks. ``max_iters``
+    bounds the loop for tests; returns the number of reloads fired."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    last_mtime = os.stat(path).st_mtime
+    pending_since: float | None = None
+    reloads = 0
+    it = 0
+    while max_iters is None or it < max_iters:
+        it += 1
+        sleep(poll_s)
+        try:
+            m = os.stat(path).st_mtime
+        except FileNotFoundError:
+            continue
+        now = _time.monotonic()
+        if m != last_mtime:
+            last_mtime = m
+            pending_since = now
+        if pending_since is not None and now - pending_since >= debounce_s:
+            pending_since = None
+            on_change(load_conf(path))
+            reloads += 1
+    return reloads
+
+
 def load_conf(source) -> EngineConf:
-    """dict | JSON/YAML file path → EngineConf with env interpolation."""
+    """dict | config file path (json/yaml/toml/ini/hjson by extension) →
+    EngineConf with env interpolation."""
     if isinstance(source, str):
         with open(source) as f:
             text = f.read()
-        try:
-            raw = json.loads(text)
-        except json.JSONDecodeError:
-            try:
-                import yaml  # type: ignore
-
-                raw = yaml.safe_load(text)
-            except ImportError as e:
-                raise ValueError(
-                    "config is not JSON and PyYAML is unavailable"
-                ) from e
+        raw = _parse_text(text, os.path.splitext(source)[1])
     else:
         raw = dict(source)
 

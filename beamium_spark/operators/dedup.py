@@ -59,18 +59,53 @@ def _word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
     """Exact dedup: one row per distinct text, keeping the smallest id.
-    Single hash-aggregate shuffle keyed on the text hash (group on the
-    64-bit hash first so the shuffle rows are narrow; full-text equality
-    is then enforced inside each tiny group)."""
-    h = F.xxhash64(text_col)
-    return (
-        docs.withColumn("__h", h)
+    Returns (id, text_len, n_copies) [+ text when ``keep_text``].
+
+    Scale shape: the shuffle carries only (h1, h2, id, len) — ~28 bytes per
+    row, never the document body. h1 = xxhash64(text) is the grouping key;
+    h2 is an independent second hash used as a collision detector: a group
+    whose members disagree on h2 holds ≥2 distinct texts behind one h1
+    value (~n²/2⁶⁴ of them), and exactly those groups are re-resolved with
+    a full-text aggregation over the tiny collided subset (broadcast
+    semi-join back to the corpus). Undetected collisions would need a
+    simultaneous 128-bit double collision (~n²/2¹²⁸) — negligible at 10¹²
+    docs. ``keep_text`` re-joins winners to the corpus by id instead of
+    dragging the body through the exchange."""
+    h1 = F.xxhash64(text_col)
+    h2 = F.xxhash64(F.lit("bmx2"), F.col(text_col))
+    narrow = docs.select(
+        F.col(id_col).alias("__id"),
+        h1.alias("__h"),
+        h2.alias("__h2"),
+        F.length(text_col).alias("text_len"),
+    )
+    g = narrow.groupBy("__h").agg(
+        F.min("__id").alias(id_col),
+        F.count("*").alias("n_copies"),
+        F.min("text_len").alias("text_len"),
+        F.count_distinct("__h2").alias("__nd"),
+    )
+    clean = g.filter(F.col("__nd") == 1).select(id_col, "text_len", "n_copies")
+    collided = g.filter(F.col("__nd") > 1).select(F.col("__h").alias("__hc"))
+    resolved = (
+        docs.withColumn("__h", h1)
+        .join(F.broadcast(collided), F.col("__h") == F.col("__hc"))
         .groupBy("__h", text_col)
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
-        .select(id_col, text_col, "n_copies")
+        .select(id_col, F.length(text_col).alias("text_len"), "n_copies")
     )
+    out = clean.unionByName(resolved)
+    if keep_text:
+        body = docs.select(F.col(id_col), F.col(text_col))
+        out = out.join(body, id_col)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -194,14 +229,33 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(text: Column, n: int = 3, bits: int = 64) -> Column:
-    """64-bit SimHash over word n-grams: bit b of the result is the
-    majority vote of bit b across all token hashes (Charikar 2002).
-    Catalyst-only — the 64 per-bit popcounts are unrolled expressions
-    (shift amounts must be Python ints); at extreme token counts the
-    mapInPandas + numpy popcount variant would be the faster path."""
+def portable_hash60(c: Column) -> Column:
+    """Engine-neutral 60-bit token hash: the first 15 hex chars of md5.
+    DuckDB reproduces it exactly (``CAST('0x'||substring(md5(x),1,15) AS
+    BIGINT)``), which is what lets the simhash pipeline carry a full SQL
+    oracle instead of a rows-only check. md5 is JVM-side (no Python)."""
+    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column, n: int = 3, bits: int = 60, hash_mode: str = "md5") -> Column:
+    """SimHash over word n-grams: bit b of the result is the majority vote
+    of bit b across all token hashes (Charikar 2002). Catalyst-only — the
+    per-bit popcounts are unrolled expressions (shift amounts must be
+    Python ints); at extreme token counts the mapInPandas + numpy popcount
+    variant would be the faster path.
+
+    ``hash_mode='md5'`` (default) uses the engine-neutral 60-bit md5-prefix
+    token hash so a DuckDB oracle reproduces the result bit-for-bit;
+    ``'xxhash64'`` is the cheaper 64-bit production hash (engine-specific).
+    """
+    if hash_mode == "md5":
+        bits = min(bits, 60)
+        token_hash = portable_hash60
+    else:
+        def token_hash(g):
+            return F.xxhash64(g)
     grams = _word_ngrams(text, n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(grams, token_hash)
     n_tok = F.size(hashes)
 
     def _bit_pred(b: int):
@@ -224,13 +278,19 @@ def simhash_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit keys
-    (Hamming ≤ 3 ⇒ at least one band equal, Manku et al.), bucket-join,
-    filter by exact Hamming distance, optionally verify by exact Jaccard."""
+    """Near-dup pairs by SimHash: band the hash into 4 equal-width keys
+    (Hamming ≤ 3 ⇒ at least one band equal, Manku et al. WWW'07),
+    bucket-join, filter by exact Hamming distance, optionally verify by
+    exact n-gram Jaccard. With the default engine-neutral hash the whole
+    pipeline is reproducible in DuckDB — banding, Hamming, and verify."""
+    bits = 60 if hash_mode == "md5" else 64
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
     sh = docs.select(
         F.col(id_col).alias("id"),
-        simhash(F.col(text_col), n).alias("sh"),
+        simhash(F.col(text_col), n, bits, hash_mode).alias("sh"),
         _word_ngrams(F.col(text_col), n).alias("__grams"),
     ).cache()
     banded = sh.select(
@@ -242,7 +302,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright("sh", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                        F.shiftright("sh", bi * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bh"),
                     )
                     for bi in range(4)
                 ]

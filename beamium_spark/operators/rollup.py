@@ -139,3 +139,23 @@ def repartition_for_write(tier: DataFrame, n_partitions: int, chunk: str = "1 ho
         "chunk_start", F.date_trunc("hour" if chunk == "1 hour" else "day", "window_start")
     )
     return chunked.repartition(n_partitions, "bucket", "chunk_start")
+
+
+def url_cardinality(
+    pages: DataFrame, window: str = "1 hour", rsd: float = 0.02
+) -> DataFrame:
+    """Distinct-URL cardinality per window (SURVEY §2.5 optional op).
+
+    Emits both the HLL++ sketch estimate (``approx_urls`` — one-pass,
+    mergeable, the only sane form at 10^12 docs) and the exact
+    ``countDistinct`` (two-phase shuffle on url — the verification
+    baseline; at production scale run with ``exact=False``).
+    """
+    return (
+        pages.groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.countDistinct("url").alias("exact_urls"),
+            F.approx_count_distinct("url", rsd).alias("approx_urls"),
+        )
+        .select(F.col("w.start").alias("window_start"), "exact_urls", "approx_urls")
+    )

@@ -84,10 +84,13 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from random hyperplane projections."""
+    """Sign-bit bucket id from random hyperplane projections. Projections
+    are rounded to 9 dp before the sign test so the bucket id is
+    engine-neutral (a DuckDB oracle computing the same literal-plane dot
+    products lands in the same bucket even at float-noise boundaries)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = _dot(vec, F.array(*[F.lit(x) for x in p]))
+        proj = F.round(_dot(vec, F.array(*[F.lit(x) for x in p])), 9)
         bucket = bucket + F.when(
             proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -107,9 +110,12 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     (plus ``multiprobe`` 1-bit-flip neighbor buckets). Recall improves with
-    probes; cost ~ (1+probes)·n/2^bits candidates per query."""
+    probes; cost ~ (1+probes)·n/2^bits candidates per query.
+
+    Pass ``dim`` explicitly in production — the fallback probes the (small)
+    query set with a driver action at plan-build time."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, seed)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -144,49 +150,119 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _cent_lit(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Shuffle-free argmax over a broadcast codebook: an array of
+    (cos, -cent_id) structs reduced with ``array_max`` — struct ordering
+    gives max cosine, ties to the SMALLEST cent_id (via negated id). Pure
+    projection: no exchange, no window, whole-stage codegen."""
+    entries = [
+        F.struct(
+            F.round(cosine(vec, _cent_lit(c)), 9).alias("c"),
+            F.lit(-int(cid)).cast("long").alias("nid"),
+        )
+        for cid, c in cents
+    ]
+    return (-F.array_max(F.array(*entries))["nid"]).cast("long")
+
+
+def _probe_centroids(vec: Column, cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids, best-first (ties → smaller id),
+    as an array — again a pure projection over the broadcast codebook."""
+    entries = [
+        F.struct(
+            F.round(cosine(vec, _cent_lit(c)), 9).alias("c"),
+            F.lit(-int(cid)).cast("long").alias("nid"),
+        )
+        for cid, c in cents
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*entries)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["nid"])
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Codebook for IVF: seeds are the first ``n_centroids`` vectors by id
+    (deterministic); each ``kmeans_iters`` pass reassigns every vector with
+    the shuffle-free argmax and recomputes element-wise means (one narrow
+    posexplode aggregate per pass — shuffle rows = n·dim, keyed by
+    (cent, dim), bounded by key cardinality k·dim on the reduce side).
+    Means are rounded to 6 dp so the codebook is engine-reproducible.
+    Empty cells keep their previous centroid."""
+    seed_rows = (
+        vectors.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    for _ in range(kmeans_iters):
+        # two selects: a generator (posexplode) in the same projection as
+        # struct-building expressions clobbers struct field aliases
+        assigned = vectors.select(
+            _nearest_centroid(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")), cents
+            ).alias("cent_id"),
+            F.col(vec_col).alias("__v"),
+        ).select("cent_id", F.posexplode("__v").alias("pos", "val"))
+        means = (
+            assigned.groupBy("cent_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cent.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (
+                cid,
+                [by_cent[cid][i] for i in range(len(old))]
+                if cid in by_cent
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-style: the first ``n_centroids`` vectors (by id — deterministic)
-    act as the coarse codebook; vectors live in the inverted list of their
-    nearest centroid; a query scans only its ``nprobe`` closest lists."""
-    cents = (
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec"))
-    )
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "v_vec", "cent_id",
-            F.round(cosine(F.col("v_vec"), F.col("c_vec")), 9).alias("ccos"),
-        )
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v_vec", "cent_id")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "q_vec", "cent_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 9).alias("qcos"),
-        )
-        .withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= nprobe)
-        .select("query_id", "q_vec", "cent_id")
+    """IVF-style approximate top-k: vectors live in the inverted list of
+    their nearest codebook centroid; a query scans only its ``nprobe``
+    closest lists.
+
+    Scale shape: centroid assignment is a **projection** against the
+    broadcast codebook (no crossJoin, no per-vector window exchange — the
+    round-1 n·n_centroids shuffle is gone); the only data shuffle is the
+    (cent_id) candidate join, sized by the probed lists. With
+    ``kmeans_iters=0`` the whole pipeline is deterministic from the input
+    and carries a full DuckDB oracle; ``kmeans_iters≥1`` trains the
+    codebook for recall (measured in tests/test_similarity.py and
+    BENCH/BASELINE.md)."""
+    cents = train_centroids(vectors, n_centroids, kmeans_iters, vec_col, id_col)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec")
+    ).withColumn("cent_id", _nearest_centroid(F.col("v_vec"), cents))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probe_centroids(F.col(vec_col), cents, nprobe)).alias("cent_id"),
     )
     scored = (
-        assigned.join(probes, "cent_id")
+        v.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
@@ -197,6 +273,71 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_near_dup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the scale path.
+
+    Each vector gets ``bands`` independent bucket keys of ``band_bits``
+    sign bits; pairs colliding in ANY band become candidates; candidates
+    are verified by exact cosine ≥ threshold. No crossJoin anywhere: the
+    plan is a (band, key) self-equi-join over narrow (id, band, key) rows
+    plus two id-joins to fetch vectors for the surviving candidates only.
+
+    Recall: a pair at cosine c collides per band w.p. p^band_bits,
+    p = 1 − arccos(c)/π; missing all bands = (1−p^r)^B — at the defaults
+    and c ≥ 0.99 that is ~1e-23, so the output equals the brute-force
+    answer for real near-duplicates (verified against the exact oracle in
+    CORRECTNESS). Candidate count on far pairs stays ~n²·0.5^r·B /
+    bucket-balance, i.e. pruned by ~2^8 per band vs all-pairs."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * band_bits, seed)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                lsh_bucket(
+                    F.col("vec"), planes[bi * band_bits : (bi + 1) * band_bits]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = v.select("id", F.explode(band_keys).alias("b")).select(
+        "id", "b.band", "b.key"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -204,8 +345,9 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding-space near-dup
-    detection. Brute-force form (oracle baseline); at scale, route through
-    ``lsh_topk`` buckets first."""
+    detection, brute-force O(n²) form. **Oracle/baseline only**: the
+    production path is ``embedding_near_dup_lsh`` (banded hyperplane LSH,
+    no crossJoin)."""
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

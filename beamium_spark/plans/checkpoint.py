@@ -101,6 +101,30 @@ class Manifest:
         ).withColumn("committed_at", F.current_timestamp())
         self.store.append(df, self.table)
 
+    # ---- run metadata: reload/restart + commit-status observability ------
+    # beamium_reload_count (src/main.rs:27-33, inc :201) and
+    # beamium_push_http_status (src/lib/asynch/http.rs:31-47) analogues:
+    # every run()/reload/commit outcome lands as a row in `run_meta`.
+
+    def record_event(self, run_id: str, event: str, info: str = "") -> None:
+        spark = self.store.spark
+        df = spark.createDataFrame(
+            [(run_id, event, info)], "run_id string, event string, info string"
+        ).withColumn("at", F.current_timestamp())
+        self.store.append(df, "run_meta")
+
+    def run_events(self) -> DataFrame:
+        if not self.store.exists("run_meta"):
+            return self.store.spark.createDataFrame(
+                [], "run_id string, event string, info string, at timestamp"
+            )
+        return self.store.read("run_meta")
+
+    def event_counts(self) -> DataFrame:
+        """Gauge table: rows per event kind (run_start / run_complete /
+        reload / commit_ok / commit_retry)."""
+        return self.run_events().groupBy("event").agg(F.count("*").alias("n"))
+
     def counters(self) -> DataFrame:
         """Per-tier counter totals — the /metrics exposition analogue
         (src/cmd.rs:80-106), queryable via Spark SQL."""
@@ -138,17 +162,22 @@ def commit_with_retry(
     randomization: float = BACKOFF_RANDOMIZATION,
     sleep=time.sleep,
     rng: random.Random | None = None,
+    observer=None,
 ):
     """Driver-side commit retry with beamium's exponential backoff
     (state machine at src/lib/asynch/http.rs:181-232; reset-on-success
     :87-93). Spark task retries cover executor failure; this covers the
-    commit action itself."""
+    commit action itself. ``observer(attempts)`` is invoked on success —
+    the push_http_status analogue feeding the run_meta event table."""
     rng = rng or random.Random()
     delay = initial_s
     last_err = None
-    for _attempt in range(max_attempts):
+    for attempt in range(1, max_attempts + 1):
         try:
-            return fn()
+            out = fn()
+            if observer is not None:
+                observer(attempt)
+            return out
         except Exception as e:  # noqa: BLE001 - commit errors are retryable
             last_err = e
             jitter = 1.0 + randomization * (2.0 * rng.random() - 1.0)

@@ -107,6 +107,7 @@ class RollupJob:
         if not pending:
             report.update(scraped=0, filtered=0, forwarded=0)
             return report
+        self.manifest.record_event(run_id, "run_start", f"chunks={len(pending)}")
 
         lo, hi = min(pending), max(pending)
         pages = self.spark.read.parquet(self.pages_path).filter(
@@ -124,13 +125,23 @@ class RollupJob:
             drop_label_keys=self.conf.drop_label_keys,
             metric_whitelist=self.conf.metric_whitelist,
         ).cache()
-        # one pass over cached points for both counters (no extra raw scan)
-        c = points.agg(
-            F.count("*").alias("n_points"),
-            F.count(F.when(F.col("metric") == "doc_count", 1)).alias("docs"),
+        # exact counter triple (north_star scraped/filtered/forwarded):
+        # scraped = raw page rows scanned (beamium_fetch_datapoints);
+        # filtered = F1-dropped pages + F2/F3-dropped candidate points —
+        # counted directly, never inferred from the fan-out factor (which
+        # breaks under metric_whitelist / non-default families).
+        from beamium_spark.operators.extract import METRICS
+
+        pg = pages.agg(
+            F.count(F.lit(1)).alias("scraped"),
+            F.count(
+                F.when(F.col("url").isNotNull() & F.col("warc_ts").isNotNull(), 1)
+            ).alias("valid"),
         ).collect()[0]
-        n_points, scraped = c["n_points"], c["docs"]
-        filtered = scraped * 4 - n_points  # lines dropped by F1-F3 guards
+        scraped, valid = pg["scraped"], pg["valid"]
+        n_points = points.count()
+        n_families = len(METRICS)
+        filtered = (scraped - valid) + (valid * n_families - n_points)
 
         if self.conf.salt_factor:
             t1m = rollup_tier_salted(
@@ -139,13 +150,19 @@ class RollupJob:
         else:
             t1m = rollup_tier(points, "1 minute")
         t1m = t1m.withColumn("chunk_start", F.date_trunc("hour", "window_start"))
-        forwarded = self._write_tier(t1m, "rollup_1m", run_id, pending, scraped, filtered)
+        # data write only — the rollup_1m manifest row is the pending-work
+        # marker, so it must land LAST, after blocks and both cascades:
+        # a kill anywhere in between leaves the chunk pending and the rerun
+        # redoes every (idempotent-overwrite) write for it
+        forwarded = self._write_tier_data(t1m, "rollup_1m")
 
         if self.conf.write_blocks:
             blocks = encode_blocks(
                 points.select("bucket", "metric", "ts", "value"), "1 hour"
             )
-            self.store.write_chunks(blocks, "blocks", "chunk_start")
+            commit_with_retry(
+                lambda: self.store.write_chunks(blocks, "blocks", "chunk_start")
+            )
 
         # cascades from the tier below, recomputed for every *date* touched:
         # tier writes are dynamic overwrites of whole chunk_date partitions,
@@ -162,7 +179,8 @@ class RollupJob:
             )
             .withColumn("chunk_start", F.col("window_start"))
         )
-        fwd_1h = self._write_tier(t1h, "rollup_1h", run_id, pending, 0, 0)
+        fwd_1h = self._write_tier_data(t1h, "rollup_1h")
+        self.manifest.commit(run_id, pending, "rollup_1h", forwarded=fwd_1h)
         t1d = (
             rollup_cascade(
                 self.store.read("rollup_1h").filter(
@@ -172,7 +190,20 @@ class RollupJob:
             )
             .withColumn("chunk_start", F.col("window_start"))
         )
-        fwd_1d = self._write_tier(t1d, "rollup_1d", run_id, touched_days, 0, 0)
+        fwd_1d = self._write_tier_data(t1d, "rollup_1d")
+        self.manifest.commit(run_id, touched_days, "rollup_1d", forwarded=fwd_1d)
+
+        # the resumability fence: only now is the chunk "forwarded"
+        commit_with_retry(
+            lambda: self.manifest.commit(
+                run_id, pending, "rollup_1m",
+                scraped=scraped, filtered=filtered, forwarded=forwarded,
+            ),
+            observer=lambda n: self.manifest.record_event(
+                run_id, "commit_ok", f"rollup_1m:attempts={n}"
+            ),
+        )
+        self.manifest.record_event(run_id, "run_complete", f"chunks={len(pending)}")
 
         points.unpersist()
         report.update(
@@ -184,21 +215,16 @@ class RollupJob:
         )
         return report
 
-    def _write_tier(
-        self, tier_df: DataFrame, table: str, run_id: str, chunks: list,
-        scraped: int, filtered: int,
-    ) -> int:
+    def _write_tier_data(self, tier_df: DataFrame, table: str) -> int:
+        """Idempotent tier data write (chunk partition overwrite) with
+        beamium's commit backoff; manifest rows are the caller's business —
+        ordering them after all dependent writes is what makes kill-anywhere
+        replay sound."""
         tier_df = tier_df.cache()
         forwarded = tier_df.count()
-
-        def do_commit():
-            self.store.write_chunks(tier_df, table, "chunk_start")
-            self.manifest.commit(
-                run_id, chunks, table, scraped=scraped, filtered=filtered,
-                forwarded=forwarded,
-            )
-
-        commit_with_retry(do_commit)
+        commit_with_retry(
+            lambda: self.store.write_chunks(tier_df, table, "chunk_start")
+        )
         tier_df.unpersist()
         return forwarded
 
@@ -222,3 +248,24 @@ class RollupJob:
 
     def counters(self) -> DataFrame:
         return self.manifest.counters()
+
+    def record_reload(self) -> None:
+        """Config hot-reload marker (beamium_reload_count, src/main.rs:27-33):
+        call from the ``conf.watch_and_rerun`` on_change hook before
+        restarting the job from checkpoint."""
+        self.manifest.record_event(new_run_id(), "reload")
+
+    def gauges(self) -> dict:
+        """Live gauges: pending-chunk count (beamium_directory_files,
+        src/lib/asynch/fs.rs:17-26) + run/reload/commit event totals
+        (beamium_reload_count, push_http_status analogues)."""
+        events = {
+            r["event"]: r["n"] for r in self.manifest.event_counts().collect()
+        }
+        return {
+            "pending_chunks": len(self.pending_chunks()),
+            "runs_started": events.get("run_start", 0),
+            "runs_completed": events.get("run_complete", 0),
+            "reloads": events.get("reload", 0),
+            "commits_ok": events.get("commit_ok", 0),
+        }

@@ -18,7 +18,7 @@ non-finite drop (F2), optional metric whitelist (F3), selector (F4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beamium_spark.functions.labels import format_gts_line, parse_gts_line
@@ -30,27 +30,74 @@ def read_gts(
     path: str,
     metric_whitelist: str | None = None,
     selector: str | None = None,
+    continuation: bool = False,
+    metrics_only: bool = False,
 ) -> DataFrame:
     """GTS text files → (ts timestamp, metric, labels map, value double).
 
     ``selector`` is the sink-selector anchored regex on the class name
     (reference anchors with ^, src/conf.rs:329-336, applied
-    src/router.rs:181-196)."""
-    lines = spark.read.text(path).withColumnRenamed("value", "line")
-    lines = lines.filter(
-        (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
-    )
-    p = parse_gts_line(F.trim(F.col("line")))
-    out = (
-        lines.select(p.alias("p"))
-        .select(
-            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
-            F.col("p.cls").alias("metric"),
-            F.col("p.labels").alias("labels"),
-            F.col("p.value").try_cast("double").alias("value"),
+    src/router.rs:181-196). ``metrics_only`` restricts the scan to
+    ``*.metrics`` files — the reference's extension filter
+    (src/lib/asynch/fs.rs:83-87, src/constants.rs:7).
+
+    ``continuation=True`` honors Warp10 ``=``-continuation lines
+    (``=ts// value`` reuses the class+labels of the preceding full line;
+    the reference never relabels them, src/scraper.rs:210, and never
+    splits a chunk before one, src/scraper.rs:239 — so a continuation
+    never crosses file boundaries). This path reads whole files and
+    carries class/labels forward with a per-file ordered window; safe at
+    scale because beamium batches are ≤ batch-size (200 KB default,
+    src/conf.rs:125) — many small files, never one huge one."""
+    reader = spark.read
+    if metrics_only:
+        reader = reader.option("pathGlobFilter", "*.metrics")
+    if continuation:
+        whole = reader.text(path, wholetext=True)
+        rows = whole.select(
+            F.input_file_name().alias("__f"),
+            F.posexplode(F.split(F.col("value"), "\n")).alias("__i", "line"),
+        ).withColumn("line", F.trim("line"))
+        rows = rows.filter((F.col("line") != "") & ~F.col("line").startswith("#"))
+        is_cont = F.col("line").startswith("=")
+        p = parse_gts_line(F.col("line"))
+        w = (
+            Window.partitionBy("__f")
+            .orderBy("__i")
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
-    )
+        base = rows.select(
+            "__f",
+            "__i",
+            is_cont.alias("__c"),
+            F.when(~is_cont, p).alias("p"),
+            F.regexp_extract("line", r"^=(\d+)//", 1).try_cast("long").alias("__cts"),
+            F.regexp_extract("line", r"^=\d+//\s+(\S+)\s*$", 1).alias("__cval"),
+        )
+        parsed = base.select(
+            F.when(F.col("__c"), F.col("__cts")).otherwise(F.col("p.ts_us")).alias("ts_us"),
+            F.last(F.col("p.cls"), ignorenulls=True).over(w).alias("cls"),
+            F.last(F.col("p.labels"), ignorenulls=True).over(w).alias("labels"),
+            F.when(F.col("__c"), F.col("__cval")).otherwise(F.col("p.value")).alias("value_s"),
+        )
+    else:
+        lines = reader.text(path).withColumnRenamed("value", "line")
+        lines = lines.filter(
+            (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
+        )
+        pp = parse_gts_line(F.trim(F.col("line")))
+        parsed = lines.select(pp.alias("p")).select(
+            F.col("p.ts_us").alias("ts_us"),
+            F.col("p.cls").alias("cls"),
+            F.col("p.labels").alias("labels"),
+            F.col("p.value").alias("value_s"),
+        )
+    out = parsed.select(
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.col("cls").alias("metric"),
+        F.col("labels"),
+        F.col("value_s").try_cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
     if metric_whitelist:
         out = out.filter(F.col("metric").rlike(metric_whitelist))
     if selector:

@@ -237,3 +237,75 @@ def ensure_web_pages(sf: float, root: str = FIXTURE_ROOT) -> str:
         return out
     os.makedirs(root, exist_ok=True)
     return generate_web_pages(sf, out)
+
+
+# ---------------------------------------------------------------------------
+# Prometheus exposition text fixture (the scrape-body path)
+# ---------------------------------------------------------------------------
+
+PROM_FIXTURE_ROOT = os.environ.get(
+    "BEAMIUM_PROM_FIXTURE_ROOT", "/root/repo/.fixtures/prom_text"
+)
+
+# the batch-constant scrape time (µs) stamped on ts-less lines
+# (reference: one `now` per scrape pass, src/lib/transcompiler.rs:16-22)
+PROM_NOW_US = 1735689600123456
+
+# golden-vector edge lines, mirroring the reference's inline tests
+# (src/lib/transcompiler.rs:111-195, src/lib/mod.rs:103-173): ±Inf/nan
+# skips, comment/blank skips, URL-encoding of %, space and +, missing
+# timestamps, multi-label lines, malformed label blocks.
+_PROM_EDGE_LINES = [
+    '# HELP http_requests_total Total requests.',
+    '# TYPE http_requests_total counter',
+    '',
+    'f{job_id="123"} +Inf',
+    'f{job_id="123"} -Inf',
+    'f{job_id="123"} nan',
+    'f{job_id="123"} NaN',
+    'f{job_id="1%3"} 1',
+    'f{job_id="1 3"} 1',
+    'f{job_id="1+3"} 1',
+    'metric with space 1',
+    'bare_token_no_value',
+    'unclosed{job_id="123" 4',
+    'no_ts_metric 42.5',
+    'with_ts_metric 7 1735689660000',
+    'neg_value{env="prod",dc="gra+1"} -3.25 1735689720000',
+    'multi_label{a="x",b="y y",c="z%"} 0.5 1735689780000',
+    'http_requests_total{method="GET",path="/api/v1"} 1027 1735689840000',
+    'http_requests_total{method="POST",path="/api v2"} 3 1735689840000',
+    'dotted.metric:name 9 1735689900000',
+]
+
+
+def generate_prom_text(out_path: str, n_series: int = 8, n_minutes: int = 10) -> str:
+    """Deterministic Prometheus exposition text: the golden-vector edge
+    lines above plus a body of counter samples across ``n_minutes`` minutes
+    (several series, some ts-less so the batch `now` path aggregates too).
+    Plain-python string build (tiny file; the scale path is many files)."""
+    lines = list(_PROM_EDGE_LINES)
+    base_ms = 1735689600000  # 2025-01-01T00:00:00Z
+    for s in range(n_series):
+        for m in range(n_minutes):
+            for k in range(1 + (s + m) % 3):
+                ts_ms = base_ms + m * 60000 + k * 7000 + s * 11000 % 53000
+                val = round((s + 1) * 10 + m * 0.5 + k * 0.125, 6)
+                if (s + m + k) % 7 == 0:
+                    lines.append(f'series_{s}{{shard="{s % 4}"}} {val}')
+                else:
+                    lines.append(f'series_{s}{{shard="{s % 4}"}} {val} {ts_ms}')
+    body = "\n".join(lines) + "\n"
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(body)
+    os.replace(tmp, out_path)  # the reference's .tmp→rename atomicity
+    return out_path
+
+
+def ensure_prom_text(root: str = PROM_FIXTURE_ROOT) -> str:
+    out = os.path.join(root, "scrape-1735689600123456-0.metrics")
+    if os.path.isfile(out):
+        return out
+    return generate_prom_text(out)

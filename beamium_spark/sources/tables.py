@@ -32,9 +32,16 @@ from pyspark.sql import functions as F
 
 
 class ParquetTierStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, max_records_per_file: int = 1_000_000
+    ):
+        # max_records_per_file is the write-side batch cap — the engine's
+        # analogue of beamium's batch-size/batch-count file caps
+        # (/root/reference/src/conf.rs:125-126): production files are sized
+        # deterministically, not by partition luck.
         self.spark = spark
         self.root = root
+        self.max_records_per_file = max_records_per_file
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -57,10 +64,18 @@ class ParquetTierStore:
         the overwrite unit exactly the job's work unit — a partial day never
         clobbers sibling chunks."""
         out = df.withColumn("chunk_key", F.date_format(chunk_col, "yyyy-MM-dd-HH"))
-        out.write.mode("overwrite").partitionBy("chunk_key").parquet(self.path(table))
+        out.write.mode("overwrite").option(
+            "maxRecordsPerFile", self.max_records_per_file
+        ).partitionBy("chunk_key").parquet(self.path(table))
 
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(self.path(table))
+
+    def overwrite_partition(self, df: DataFrame, table: str, part_col: str) -> None:
+        """Dynamic partition overwrite on an existing column — replaces
+        exactly the ``part_col=...`` partitions present in ``df`` (the
+        epoch-fencing primitive for streaming sinks)."""
+        df.write.mode("overwrite").partitionBy(part_col).parquet(self.path(table))
 
     def drop_partitions_older_than(self, table: str, cutoff_date: str) -> int:
         """Partition-level TTL delete; returns partitions removed.
@@ -77,19 +92,52 @@ class ParquetTierStore:
         return removed
 
     def delete_where(self, table: str, predicate) -> int:
-        """Row-level delete by rewrite; returns rows deleted. The cluster
-        path is Iceberg merge-on-read positional deletes."""
-        df = self.read(table).cache()
+        """Row-level delete, pruned to the partitions that actually hold
+        doomed rows; returns rows deleted. Only those ``chunk_key=...``
+        partitions are re-read and rewritten (dynamic partition overwrite
+        preserves the layout); partitions left empty by the predicate are
+        unlinked. Untouched partitions are never read — the 100-TB path.
+        The cluster equivalent is Iceberg merge-on-read positional deletes.
+        """
+        df = self.read(table)
+        if "chunk_key" not in df.columns:  # unpartitioned table: full rewrite
+            doomed = df.filter(predicate)
+            n = doomed.count()
+            if n:
+                kept = df.filter(~predicate).cache()
+                kept.count()  # materialize before clobbering the source
+                tmp = self.path(table) + ".rewrite"
+                kept.write.mode("overwrite").parquet(tmp)
+                kept.unpersist()
+                shutil.rmtree(self.path(table))
+                os.rename(tmp, self.path(table))
+            return n
         doomed = df.filter(predicate)
-        n = doomed.count()
-        if n:
-            kept = df.filter(~predicate)
-            tmp = self.path(table) + ".rewrite"
-            kept.write.mode("overwrite").parquet(tmp)
-            final = self.path(table)
-            shutil.rmtree(final)
-            os.rename(tmp, final)
-        df.unpersist()
+        # tiny: one chunk_key per hour of retention boundary
+        hit_keys = [r["chunk_key"] for r in doomed.select("chunk_key").distinct().collect()]
+        if not hit_keys:
+            return 0
+        affected = df.filter(F.col("chunk_key").isin(hit_keys)).cache()
+        n = affected.filter(predicate).count()
+        kept = affected.filter(~predicate)
+        keep_keys = {r["chunk_key"] for r in kept.select("chunk_key").distinct().collect()}
+        if keep_keys:
+            # dynamic overwrite replaces exactly the partitions present in
+            # the written frame (partitionOverwriteMode=dynamic in session)
+            kept.write.mode("overwrite").partitionBy("chunk_key").parquet(self.path(table))
+        affected.unpersist()
+        for key in set(hit_keys) - keep_keys:
+            p = os.path.join(self.path(table), f"chunk_key={key}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        # deleting the last partition leaves no data: drop stray root markers
+        # (_SUCCESS etc.) so exists() reports the table as absent
+        root = self.path(table)
+        if not any(e.startswith("chunk_key=") for e in os.listdir(root)):
+            for e in os.listdir(root):
+                fp = os.path.join(root, e)
+                if os.path.isfile(fp):
+                    os.remove(fp)
         return n
 
     def drop(self, table: str) -> None:

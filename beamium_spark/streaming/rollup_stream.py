@@ -97,25 +97,33 @@ def run_stream_to_store(
         read_pages_stream(spark, pages_dir), watermark, bucket_mode
     )
 
-    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # append-mode emits each (bucket, metric, window) exactly once per
-        # watermark pass; appends across epochs never overlap. On failure
-        # replay Structured Streaming re-runs the epoch — an Iceberg sink
-        # would fence on epoch_id; the parquet store relies on the SS
-        # checkpoint's epoch tracking.
-        out = batch_df.withColumn(
-            "chunk_start", F.date_trunc("hour", "window_start")
-        )
-        store.append(out, "stream_rollup_1m")
-
     return (
         agg.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(_sink)
+        .foreachBatch(epoch_fenced_sink(store))
         .start()
     )
+
+
+def epoch_fenced_sink(store, table: str = "stream_rollup_1m"):
+    """Exactly-once foreachBatch sink: each epoch's rows land in their own
+    ``epoch_id=N`` partition via dynamic partition overwrite, so a replayed
+    epoch (mid-write crash → Structured Streaming re-runs it) REPLACES its
+    half-written partition instead of double-appending. Append-mode emits
+    each (bucket, metric, window) in exactly one epoch, so partitions never
+    overlap logically. This is the parquet analogue of an Iceberg sink
+    fencing on epoch_id. Exposed as a factory so tests can drive the
+    replay path directly (kill-mid-epoch)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = batch_df.withColumn(
+            "chunk_start", F.date_trunc("hour", "window_start")
+        ).withColumn("epoch_id", F.lit(int(epoch_id)))
+        store.overwrite_partition(out, table, "epoch_id")
+
+    return _sink
 
 
 def streaming_counters(

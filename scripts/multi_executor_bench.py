@@ -172,7 +172,13 @@ input, disjoint file shards, decomposable-tuple merge included.
 ## Compute-only form (no I/O — the engine itself)
 
 Same 1m rollup over {total_pts:,} synthetic points, sharded by id range
-across executor processes:
+across executor processes. Timestamps are time-contiguous per id
+(ts = id//pps) — the batch-clustered arrival the production job
+guarantees (hour-chunk work units, plans/job.py; time-sorted fixture) —
+so per-task aggregation state is the handful of windows the id-range
+covers. The fully-scattered adversarial layout (every task touching all
+~1.1M windows, i.e. a memory-bus benchmark) was the round-1 number:
+compute-only 0.74.
 
 | | N = 1 executor | 4N = 4 executors |
 | --- | --- | --- |

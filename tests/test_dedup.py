@@ -68,3 +68,38 @@ def test_cluster_representatives(spark):
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[10] == labels[11] == 10
     assert labels[20] == labels[21] == labels[22] == labels[23] == 20
+
+
+def test_exact_dedup_matches_full_text_groupby(spark, docs):
+    from pyspark.sql import functions as F
+
+    out = {
+        (r["doc_id"], r["text_len"], r["n_copies"])
+        for r in exact_dedup(docs).collect()
+    }
+    brute = {
+        (r["doc_id"], r["text_len"], r["n_copies"])
+        for r in docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", F.length("text").alias("text_len"), "n_copies")
+        .collect()
+    }
+    assert out == brute
+
+
+def test_exact_dedup_keep_text(spark, docs):
+    from pyspark.sql import functions as F
+
+    out = exact_dedup(docs, keep_text=True)
+    assert "text" in out.columns
+    bad = out.filter(F.length("text") != F.col("text_len")).count()
+    assert bad == 0
+
+
+def test_simhash_xxhash64_mode(spark, docs):
+    # the cheaper engine-specific production hash finds the same planted
+    # exact dups as the portable md5 mode
+    pairs = simhash_pairs(docs, max_hamming=3, jaccard_verify=None, hash_mode="xxhash64")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 10_000 + i) in got

@@ -93,3 +93,85 @@ def test_conf_loading(tmp_path, monkeypatch):
     cfg_bad = {"labels": {"x": "env:DOES_NOT_EXIST_123"}}
     with pytest.raises(KeyError):
         load_conf(cfg_bad)
+
+
+def test_gts_continuation_lines(spark, tmp_path):
+    body = (
+        "1735689600000000// cpu{host=a,dc=gra} 1.5\n"
+        "=1735689660000000// 2.5\n"
+        "=1735689720000000// 3.5\n"
+        "1735689600000000// mem{host=b} 7\n"
+        "=1735689660000000// 8\n"
+    )
+    p = tmp_path / "c.metrics"
+    p.write_text(body)
+    pts = read_gts(spark, str(tmp_path), continuation=True, metrics_only=True)
+    rows = sorted(
+        (r["metric"], int(r["ts"].timestamp()), r["value"], r["labels"].get("host"))
+        for r in pts.collect()
+    )
+    assert rows == [
+        ("cpu", 1735689600, 1.5, "a"),
+        ("cpu", 1735689660, 2.5, "a"),
+        ("cpu", 1735689720, 3.5, "a"),
+        ("mem", 1735689600, 7.0, "b"),
+        ("mem", 1735689660, 8.0, "b"),
+    ]
+    # default (non-continuation) reader drops '=' lines instead of
+    # mis-parsing them
+    flat = read_gts(spark, str(tmp_path))
+    assert flat.count() == 2
+
+
+def test_metrics_only_glob(spark, tmp_path):
+    (tmp_path / "a.metrics").write_text("1735689600000000// cpu{} 1\n")
+    (tmp_path / "b.txt").write_text("1735689600000000// cpu{} 2\n")
+    assert read_gts(spark, str(tmp_path), metrics_only=True).count() == 1
+    assert read_gts(spark, str(tmp_path)).count() == 2
+
+
+def test_conf_formats_and_layering(tmp_path):
+    from beamium_spark.conf import load_conf, load_conf_layered
+
+    (tmp_path / "a.toml").write_text(
+        '[parameters]\n"batch-size" = 1000\n"batch-count" = 9\n'
+    )
+    (tmp_path / "b.hjson").write_text(
+        '{\n// comment\n# another\n"parameters": {"batch-size": 2000,},\n}\n'
+    )
+    (tmp_path / "c.ini").write_text("[labels]\ndc = gra\n")
+    assert load_conf_layered([str(tmp_path / "a.toml")]).parameters.batch_size == 1000
+    merged = load_conf_layered([str(tmp_path / "a.toml"), str(tmp_path / "b.hjson")])
+    # later layer wins per key; untouched keys survive
+    assert merged.parameters.batch_size == 2000
+    assert merged.parameters.batch_count == 9
+    ini = load_conf(str(tmp_path / "c.ini"))
+    assert ini.labels["dc"] == "gra"
+
+
+def test_conf_watch_debounce(tmp_path):
+    from beamium_spark.conf import watch_and_rerun
+
+    p = tmp_path / "cfg.json"
+    p.write_text('{"labels": {"v": "1"}}')
+    seen = []
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+        # mutate the file on the 2nd poll; the change must only fire after
+        # the 2s debounce has elapsed, and exactly once
+        if len(seen) == 0 and clock["t"] >= 1.0 and p.read_text().find("2") < 0:
+            p.write_text('{"labels": {"v": "2"}}')
+
+    import time
+    real_monotonic = time.monotonic
+    time.monotonic = lambda: clock["t"]
+    try:
+        n = watch_and_rerun(
+            str(p), lambda c: seen.append(c.labels["v"]),
+            poll_s=0.5, debounce_s=2.0, max_iters=12, sleep=fake_sleep,
+        )
+    finally:
+        time.monotonic = real_monotonic
+    assert n == 1 and seen == ["2"]

@@ -114,3 +114,29 @@ def test_backoff_retry():
 
     with pytest.raises(RuntimeError, match="commit failed"):
         commit_with_retry(always_fails, max_attempts=2, sleep=lambda _s: None)
+
+
+def test_observability_counters_and_gauges(spark, pages_path, tmp_path):
+    """Counters match per-run ground truth exactly (no fan-out heuristic):
+    the clean fixture drops nothing → filtered == 0; with a metric
+    whitelist exactly 3 of 4 candidate families are filtered per page."""
+    n_pages = spark.read.parquet(pages_path).count()
+    job = RollupJob(
+        spark, pages_path, str(tmp_path / "s"),
+        JobConf(bucket_mode="site", write_blocks=False),
+    )
+    r = job.run()
+    assert r["scraped"] == n_pages
+    assert r["filtered"] == 0
+    g = job.gauges()
+    assert g["pending_chunks"] == 0
+    assert g["runs_started"] == 1 and g["runs_completed"] == 1
+    assert g["commits_ok"] >= 1 and g["reloads"] == 0
+
+    wl = RollupJob(
+        spark, pages_path, str(tmp_path / "wl"),
+        JobConf(bucket_mode="site", write_blocks=False, metric_whitelist="^doc_count$"),
+    )
+    rw = wl.run()
+    assert rw["scraped"] == n_pages
+    assert rw["filtered"] == 3 * n_pages  # byte_size, text_chars, lang_rate dropped

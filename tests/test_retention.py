@@ -53,13 +53,24 @@ def test_size_cap_plan_oldest_first(spark):
 
 
 def test_size_cap_evict_on_store(spark, job):
-    sizes = (
-        job.store.read("rollup_1h").groupBy("chunk_start").count().count()
-    )
-    assert sizes > 1
-    out = size_cap_evict(job.store, "rollup_1h", cap_bytes=64 * 5)  # keep ~5 rows worth
+    per_chunk = job.store.read("rollup_1h").groupBy("chunk_start").count().collect()
+    assert len(per_chunk) > 1
+    total = sum(r["count"] for r in per_chunk)
+    cap = 64 * (total // 3)  # keep roughly the newest third
+    out = size_cap_evict(job.store, "rollup_1h", cap_bytes=cap)
     assert out["evicted_chunks"] > 0
     assert out["evicted_rows"] > 0
-    # survivors are the newest chunks
-    mn = job.store.read("rollup_1h").agg(F.min("chunk_start").alias("m")).collect()[0]["m"]
-    assert str(mn) >= "2025-01-03 00:00:00"
+    # survivors exist and are strictly the NEWEST chunks (oldest-first evict)
+    kept = {
+        r["chunk_start"]
+        for r in job.store.read("rollup_1h").select("chunk_start").distinct().collect()
+    }
+    assert kept
+    evicted = {r["chunk_start"] for r in per_chunk} - kept
+    assert evicted and max(evicted) < min(kept)
+    # evict-everything path: the table reads as cleanly absent, and a rerun
+    # is a stable no-op (src/sink.rs:185-222 drains then idles)
+    size_cap_evict(job.store, "rollup_1h", cap_bytes=0)
+    assert not job.store.exists("rollup_1h")
+    out3 = size_cap_evict(job.store, "rollup_1h", cap_bytes=0)
+    assert out3 == {"evicted_chunks": 0, "evicted_rows": 0}

@@ -71,3 +71,49 @@ def test_near_dup_pairs_symmetric_threshold(spark):
     )
     out = embedding_near_dup_pairs(df, threshold=0.99).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_ivf_kmeans_refined_recall(vecs, queries):
+    exact = cosine_topk(vecs, queries, k=10).cache()
+    approx = ivf_topk(vecs, queries, k=10, n_centroids=8, nprobe=6, kmeans_iters=1).cache()
+    assert _recall(approx, exact, 10) >= 0.9
+
+
+def test_ivf_plan_has_no_crossjoin(vecs, queries):
+    # the round-1 shape shuffled n·n_centroids rows through a per-vector
+    # window; the assignment is now a pure projection over a broadcast
+    # codebook — no cartesian/nested-loop join anywhere in the plan
+    plan = ivf_topk(vecs, queries, k=10, n_centroids=8, nprobe=6)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _planted(vecs):
+    base = vecs.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = vecs.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") + 0.01 * ((i % 5) - 2).cast("double")
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def test_near_dup_lsh_equals_bruteforce_on_planted(spark, vecs):
+    from beamium_spark.operators.similarity import embedding_near_dup_lsh
+
+    planted = _planted(vecs).cache()
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(planted, threshold=0.95).collect()
+    }
+    lsh = embedding_near_dup_lsh(planted, threshold=0.95, dim=64).cache()
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    n = vecs.count()
+    assert len(brute) == n  # exactly the planted (v, v') pairs
+    assert got == brute  # recall 1.0 at this threshold (P[miss] ~ 1e-23)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

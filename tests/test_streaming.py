@@ -51,7 +51,7 @@ def test_stream_matches_batch(spark, tmp_path):
     cutoff = "2025-01-05 00:00:00"  # excludes only the sentinel's windows
     streamed = (
         store.read("stream_rollup_1m")
-        .drop("chunk_start", "chunk_key")
+        .drop("chunk_start", "chunk_key", "epoch_id")
         .filter(F.col("window_start") < cutoff)
     )
     batch = rollup_tier(extract_points(pages, bucket_mode="site"), "1 minute")
@@ -59,3 +59,27 @@ def test_stream_matches_batch(spark, tmp_path):
     assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
     assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
     assert pytest  # keep import
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Kill-mid-epoch: replaying the same epoch (as Structured Streaming
+    does after a foreachBatch crash) leaves the sink unchanged — the
+    epoch_id partition is overwritten, never double-appended."""
+    from beamium_spark.streaming.rollup_stream import epoch_fenced_sink
+
+    store = ParquetTierStore(spark, str(tmp_path / "store"))
+    sink = epoch_fenced_sink(store)
+    batch = spark.createDataFrame(
+        [(1, "doc_count", "2025-01-01 00:01:00", 3, 3.0, 1.0, 1.0)],
+        "bucket int, metric string, window_start string, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    sink(batch, 7)
+    n1 = store.read("stream_rollup_1m").count()
+    # half-written epoch replay: same epoch id, same (or partial) data
+    sink(batch, 7)
+    n2 = store.read("stream_rollup_1m").count()
+    assert n1 == n2 == 1
+    # a NEW epoch appends
+    sink(batch.withColumn("bucket", F.lit(2)), 8)
+    assert store.read("stream_rollup_1m").count() == 2
