@@ -65,15 +65,21 @@ def size_cap_plan(chunk_sizes: DataFrame, cap_bytes: int) -> DataFrame:
     )
 
 
-def size_cap_evict(store, table: str, cap_bytes: int, size_col: str | None = None) -> dict:
+def size_cap_evict(
+    store, table: str, cap_bytes: int, size_col: str | None = None,
+    size_expr=None,
+) -> dict:
     """Apply the size cap to a stored tier/block table. Sizes come from the
-    table's own accounting column when given (blocks: ts/val block
-    lengths), else a fixed per-row estimate. Returns counters
+    table's own accounting (``size_col`` column name, or ``size_expr`` — a
+    Column like length(ts_block)+length(val_block) for Gorilla blocks),
+    else a fixed per-row estimate. Returns counters
     (beamium_skip_max_size analogue)."""
     if not store.exists(table):
         return {"evicted_chunks": 0, "evicted_rows": 0}
     df = store.read(table)
-    if size_col:
+    if size_expr is not None:
+        sizes = df.groupBy("chunk_start").agg(F.sum(size_expr).alias("bytes"))
+    elif size_col:
         sizes = df.groupBy("chunk_start").agg(F.sum(size_col).alias("bytes"))
     else:
         sizes = df.groupBy("chunk_start").agg((F.count("*") * 64).alias("bytes"))

@@ -57,10 +57,12 @@ class JobConf:
     write_blocks: bool = True
     retention: dict = field(
         default_factory=lambda: {
-            # 1m keeps 2 days, 1h keeps 2 weeks, 1d keeps forever
+            # 1m keeps 2 days, 1h keeps 2 weeks, 1d keeps forever;
+            # raw-fidelity Gorilla blocks follow the 1m tier
             "rollup_1m": RetentionPolicy(ttl_hours=48),
             "rollup_1h": RetentionPolicy(ttl_hours=14 * 24),
             "rollup_1d": RetentionPolicy(),
+            "blocks": RetentionPolicy(ttl_hours=48),
         }
     )
 
@@ -236,8 +238,17 @@ class RollupJob:
             if pol.ttl_hours is not None and self.store.exists(table):
                 out[table] = ttl_evict(self.store, table, now_ts, pol.ttl_hours)
             if pol.cap_bytes is not None and self.store.exists(table):
+                # blocks carry their own byte accounting (encoded block
+                # lengths) — the size cap uses it instead of row estimates
+                size_expr = (
+                    F.length("ts_block") + F.length("val_block")
+                    if table == "blocks"
+                    else None
+                )
                 out.setdefault(table, {}).update(
-                    size_cap_evict(self.store, table, pol.cap_bytes)
+                    size_cap_evict(
+                        self.store, table, pol.cap_bytes, size_expr=size_expr
+                    )
                 )
         return out
 

@@ -59,9 +59,16 @@ def get_spark(
         # measured 10-60x jitter): pin Xms=Xmx, pre-touch once, and use
         # large G1 regions so big byte[]s aren't humongous. Smaller
         # columnar batches bound per-task buffers.
+        # ActiveProcessorCount pins JVM-internal pools (GC, JIT, ForkJoin)
+        # to the executor's core share instead of the whole box — exactly
+        # what a cluster container's cpuset gives an executor JVM; without
+        # it, co-located executor JVMs each spawn 32-core GC/JIT pools and
+        # trample each other (BEAMIUM_JVM_PROCS overrides; default = cores
+        # of the local[N] master).
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:G1HeapRegionSize=32m -Xms{mem} -XX:+AlwaysPreTouch",
+            f"-XX:G1HeapRegionSize=32m -Xms{mem} -XX:+AlwaysPreTouch "
+            f"-XX:ActiveProcessorCount={os.environ.get('BEAMIUM_JVM_PROCS', shuffle_partitions)}",
         )
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )

@@ -106,10 +106,20 @@ def read_gts(
     return out
 
 
-def write_gts(points: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_gts(
+    points: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    batch_size_bytes: int = 200_000,
+    avg_line_bytes: int = 100,
+) -> None:
     """points (ts, metric, labels, value) → newline-delimited GTS text.
-    One file per partition — the analogue of beamium's per-batch .metrics
-    files; Spark's task-commit temp→rename is the atomicity story."""
+    One file per ≤batch cap — the analogue of beamium's per-batch .metrics
+    files (batch-size 200 kB default, /root/reference/src/conf.rs:125,
+    chunking src/scraper.rs:233-276, mapped to a records-per-file cap at
+    the writer); Spark's task-commit temp→rename is the atomicity story
+    (reference .tmp→rename, src/scraper.rs:249-265)."""
+    max_records = max(1, batch_size_bytes // avg_line_bytes)
     line = format_gts_line(
         F.unix_micros(F.col("ts")),
         F.col("metric"),
@@ -118,7 +128,9 @@ def write_gts(points: DataFrame, path: str, mode: str = "overwrite") -> None:
         ),
         F.col("value"),
     )
-    points.select(line.alias("value")).write.mode(mode).text(path)
+    points.select(line.alias("value")).write.option(
+        "maxRecordsPerFile", max_records
+    ).mode(mode).text(path)
 
 
 def read_prometheus(

@@ -92,14 +92,23 @@ def main() -> None:
     # aggregation path from the sandbox's shared-bandwidth scan ceiling.
     n_points = int(os.environ.get("BEAMIUM_BENCH_POINTS", "300000000"))
 
+    # time-contiguous layout (ts = id // pps): scrape data arrives
+    # batch-clustered — the job's work unit is an hour chunk and the
+    # fixture is written time-sorted — so each task aggregates the few
+    # windows its id-range covers (cache-resident partials). The fully
+    # scattered layout ((id*37) mod span, the round-1 form) forces every
+    # task to hold the whole ~1.1M-window hash table and benchmarks the
+    # host memory bus instead of the engine.
+    pps = max(1, n_points // (3 * 86400))
+
     def q_points_cascade(i=[0]):
         i[0] += 1
         base = 1735689600
         pts = spark.range(0, n_points, 1, cpus * 8).select(
             (F.col("id") % 64).cast("int").alias("bucket"),
-            F.concat(F.lit("m"), (F.col("id") % 4).cast("string")).alias("metric"),
+            F.concat(F.lit("m"), ((F.col("id") + i[0]) % 4).cast("string")).alias("metric"),
             F.timestamp_seconds(
-                F.lit(base) + (F.col("id") * 37 + i[0]) % (3 * 86400)
+                F.lit(base) + (F.col("id") / F.lit(pps)).cast("long")
             ).alias("ts"),
             (F.col("id") % 1000).cast("double").alias("value"),
         )

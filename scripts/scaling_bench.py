@@ -76,6 +76,12 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH baseline — two-parallelism scaling evidence
 
+**Headline (north_rule ≥0.8): see BENCH/SCALING_EXECUTORS.md** — the
+cluster-faithful N→4N form (separate executor JVM processes, core-share
+pinned) is the authoritative number; the tables below are the
+thread-packed single-JVM form (the pessimistic bound — read against the
+measured host ceiling ladder further down).
+
 Protocol (BASELINE.md §3): same deterministic inputs, same configs, one
 fresh JVM per level; per-query times are medians of 5 runs.
 

@@ -74,3 +74,29 @@ def test_size_cap_evict_on_store(spark, job):
     assert not job.store.exists("rollup_1h")
     out3 = size_cap_evict(job.store, "rollup_1h", cap_bytes=0)
     assert out3 == {"evicted_chunks": 0, "evicted_rows": 0}
+
+
+def test_size_cap_blocks_uses_block_accounting(spark, tmp_path):
+    """The blocks size cap sums encoded block bytes (ts/val lengths), not
+    row estimates, and evicts oldest chunks first."""
+    from beamium_spark.plans.job import JobConf, RetentionPolicy, RollupJob
+
+    j = RollupJob(
+        spark,
+        ensure_web_pages(0.0003),
+        str(tmp_path / "s"),
+        JobConf(
+            bucket_mode="site",
+            write_blocks=True,
+            retention={"blocks": RetentionPolicy(cap_bytes=1)},
+        ),
+    )
+    j.run()
+    chunks_before = (
+        j.store.read("blocks").select("chunk_start").distinct().count()
+    )
+    assert chunks_before > 1
+    out = j.apply_retention("2025-01-04T00:00:00")
+    # cap of 1 byte: even the newest chunk exceeds it -> everything evicted
+    assert out["blocks"]["evicted_chunks"] == chunks_before
+    assert not j.store.exists("blocks")
