@@ -36,6 +36,12 @@ def gapfill(
     ``bounds`` optionally pins a global (start, end) instead of per-series
     bounds — needed when several tiers must share one grid.
     Adds ``filled: boolean``.
+
+    Feed a MATERIALIZED tier (a stored tier table, or a cached frame):
+    with per-series bounds the plan references ``tier`` twice (bounds agg
+    + join right side), and Spark recomputes an unmaterialized upstream
+    for each branch — harmless over a stored tier (tiny scan), a 2× raw
+    scan if you inline the whole extract pipeline.
     """
     step = _WINDOW_SECONDS[window]
     if bounds is None:

@@ -72,10 +72,19 @@ def main() -> None:
         t1d = rollup_cascade(rollup_cascade(t1m, "1 hour"), "1 day")
         t1d.count()
 
-    # headline 2: dense 1m tier (rollup + grid join)
+    # headline 2: dense 1m tier (rollup + grid join). Only the doc_count
+    # family is built (scan prunes html/text), and the tier is cached —
+    # gapfill's bounds pass + join would otherwise recompute the whole
+    # upstream twice (production gap-fills the STORED tier, one tiny scan)
     def q_gapfill():
-        t = rollup_tier(_points().filter(F.col("metric") == "doc_count"), "1 minute")
-        gapfill(t, "1 minute", strategy="zero").count()
+        t = rollup_tier(
+            extract_points(pages, bucket_mode="site", metrics=("doc_count",)),
+            "1 minute",
+        ).cache()
+        try:
+            gapfill(t, "1 minute", strategy="zero").count()
+        finally:
+            t.unpersist()
 
     # headline 3: Gorilla block encode (Arrow/pandas UDF path)
     def q_block_encode():

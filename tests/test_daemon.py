@@ -1,0 +1,83 @@
+"""Conf-driven daemon: two scrapers (prometheus + sensision dialects) fan
+out through selector-filtered sinks; reruns are no-ops; retention applies
+per-sink TTL; hot reload is recorded (reference process shape,
+src/main.rs:47-104)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from beamium_spark.conf import load_conf
+from beamium_spark.plans.daemon import ScrapeDaemon, ScraperSource
+
+NOW_US = 1735689600123456
+
+
+@pytest.fixture()
+def daemon(spark, tmp_path):
+    prom_dir = tmp_path / "prom"
+    prom_dir.mkdir()
+    (prom_dir / "scrape-0.metrics").write_text(
+        "# comment\n"
+        'http_requests{code="200"} 10 1735689600000\n'
+        'http_requests{code="500"} 2 1735693200000\n'
+        "cpu_load 0.5 1735689600000\n"
+        "bad_value nan\n"
+    )
+    gts_dir = tmp_path / "gts"
+    gts_dir.mkdir()
+    (gts_dir / "node-0.metrics").write_text(
+        "1735689600000000// mem_used{host=a} 100\n"
+        "=1735693200000000// 110\n"
+        "1735689600000000// cpu_load{host=a} 0.25\n"
+    )
+    conf = load_conf(
+        {
+            "scrapers": {
+                "web": {"format": "prometheus", "labels": {"dc": "gra"}},
+                "node": {"format": "sensision"},
+            },
+            "sinks": {
+                "all_metrics": {"table": "all_metrics", "ttl": 7200},
+                "cpu_only": {"table": "cpu_only", "selector": "cpu_"},
+            },
+            "labels": {"env": "test"},
+        }
+    )
+    sources = [
+        ScraperSource(conf.scrapers[0], str(prom_dir)),
+        ScraperSource(conf.scrapers[1], str(gts_dir)),
+    ]
+    return ScrapeDaemon(spark, conf, sources, str(tmp_path / "state"), NOW_US)
+
+
+def test_daemon_routes_by_selector_and_resumes(spark, daemon):
+    r1 = daemon.run_once()
+    assert r1["chunks"] == 2  # two distinct hours across the fixtures
+    # nan dropped (F2); comment dropped (F1): 3 prom + 3 gts points total
+    assert r1["forwarded"]["all_metrics"] == 6
+    # selector ^cpu_ matches cpu_load from BOTH dialects
+    assert r1["forwarded"]["cpu_only"] == 2
+
+    allm = daemon.store.read("all_metrics")
+    # global + per-scraper labels applied; sensision rows lack dc
+    prom_rows = allm.filter(F.col("labels")["dc"] == "gra")
+    assert prom_rows.count() == 3
+    assert allm.filter(F.col("labels")["env"] != "test").count() == 0
+    # continuation line inherited mem_used's class+labels
+    mem = allm.filter(F.col("metric") == "mem_used").orderBy("ts").collect()
+    assert [r["value"] for r in mem] == [100.0, 110.0]
+    assert all(r["labels"]["host"] == "a" for r in mem)
+
+    # rerun: all chunks committed for every sink -> no-op
+    r2 = daemon.run_once()
+    assert r2["chunks"] == 0
+
+    # retention: all_metrics has ttl 2h; "now" = +2d evicts everything
+    out = daemon.apply_retention("2025-01-03T00:00:00")
+    assert out["all_metrics"]["expired_partitions"] >= 1 or out[
+        "all_metrics"
+    ]["expired_rows"] >= 1
+    # reload marker feeds the beamium_reload_count analogue
+    daemon.record_reload()
+    events = {r["event"] for r in daemon.manifest.run_events().collect()}
+    assert "reload" in events and "run_complete" in events
