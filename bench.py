@@ -123,6 +123,25 @@ def main() -> None:
         )
         rollup_cascade(rollup_cascade(rollup_tier(pts, "1 minute"), "1 hour"), "1 day").count()
 
+    # training-data headlines: the scale-path dedup + similarity ops over
+    # the driver's documents/embeddings tables (repartitioned: the fixture
+    # is one file = one split; production tables arrive pre-split)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        cpus, "doc_id"
+    )
+
+    def q_dedup_minhash():
+        from beamium_spark.operators.dedup import minhash_lsh_pairs
+
+        minhash_lsh_pairs(docs, threshold=0.8).count()
+
+    def q_near_dup_lsh():
+        from beamium_spark.operators.similarity import embedding_near_dup_lsh
+
+        embedding_near_dup_lsh(
+            entrymod._near_dup_vectors(spark, sf_dir), threshold=0.95, dim=64
+        ).count()
+
     # points_cascade first: it measures the pure-engine aggregation path
     # and must not inherit a heap/page-cache polluted by the 16 GiB scans
     timed("points_cascade", q_points_cascade)
@@ -130,6 +149,8 @@ def main() -> None:
     timed("gapfill_zero_1m", q_gapfill)
     timed("block_encode", q_block_encode)
     timed("events_rollup_1m", q_events_rollup)
+    timed("dedup_minhash_lsh", q_dedup_minhash)
+    timed("embedding_near_dup_lsh", q_near_dup_lsh)
 
     total = round(sum(timings.values()), 3)
     # docs/sec over the raw-data-touching headline (the cascade)
