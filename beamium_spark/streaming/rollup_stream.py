@@ -142,3 +142,58 @@ def streaming_counters(
         )
         .select(F.col("w.start").alias("window_start"), "scraped", "filtered")
     )
+
+
+def read_gts_stream(spark: SparkSession, path: str, metrics_only: bool = True) -> DataFrame:
+    """Always-on GTS text source: ``readStream.text`` over a .metrics
+    directory — the streaming form of the reference's directory scanner +
+    file reader (src/lib/asynch/fs.rs:29-145, src/router.rs:135-146). New
+    files are discovered per trigger; rows are typed points. Continuation
+    lines are NOT supported here (file order is not observable in a
+    streaming text source) — batch ``read_gts(continuation=True)`` covers
+    archives that use them; beamium's own scraper output never emits one
+    first in a file (src/scraper.rs:239)."""
+    from beamium_spark.functions.labels import parse_gts_line
+
+    reader = spark.readStream
+    if metrics_only:
+        reader = reader.option("pathGlobFilter", "*.metrics")
+    lines = reader.text(path).withColumnRenamed("value", "line")
+    lines = lines.filter(
+        (F.trim("line") != "")
+        & ~F.trim(F.col("line")).startswith("#")
+        & ~F.trim(F.col("line")).startswith("=")
+    )
+    p = parse_gts_line(F.trim(F.col("line")))
+    return (
+        lines.select(p.alias("p"))
+        .select(
+            F.timestamp_micros(F.col("p.ts_us")).alias("ts"),
+            F.col("p.cls").alias("metric"),
+            F.col("p.labels").alias("labels"),
+            F.col("p.value").try_cast("double").alias("value"),
+        )
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+
+
+def streaming_gts_rollup_1m(points_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked 1m rollup over a GTS point stream, keyed by metric
+    (labels carried as a grouping-neutral projection is the caller's
+    concern; beamium forwards lines verbatim — the rollup here is the
+    engine's continuous-aggregate surface)."""
+    return (
+        points_stream.withWatermark("ts", watermark)
+        .groupBy("metric", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "metric",
+            F.col("w.start").alias("window_start"),
+            "cnt", "sum_value", "min_value", "max_value",
+        )
+    )

@@ -83,3 +83,50 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     # a NEW epoch appends
     sink(batch.withColumn("bucket", F.lit(2)), 8)
     assert store.read("stream_rollup_1m").count() == 2
+
+
+def test_gts_stream_matches_batch(spark, tmp_path):
+    """Streaming GTS text source drains to the same 1m rollup the batch
+    reader computes."""
+    from beamium_spark.operators.rollup import rollup_tier
+    from beamium_spark.sources.gts import read_gts
+    from beamium_spark.streaming.rollup_stream import (
+        epoch_fenced_sink,
+        read_gts_stream,
+        streaming_gts_rollup_1m,
+    )
+
+    d = tmp_path / "gts"
+    d.mkdir()
+    base = 1735689600000000
+    (d / "a.metrics").write_text(
+        "\n".join(
+            f"{base + i * 15_000_000}// cpu{{h=a}} {float(i)}" for i in range(40)
+        )
+        + "\n"
+    )
+    # sentinel far in the future pushes the watermark past every window
+    (d / "z.metrics").write_text(f"{base + 10**12}// cpu{{h=a}} 0\n")
+
+    store = ParquetTierStore(spark, str(tmp_path / "store"))
+    agg = streaming_gts_rollup_1m(read_gts_stream(spark, str(d)), "1 minute")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(epoch_fenced_sink(store, table="gts_1m"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = store.read("gts_1m").drop("chunk_start", "chunk_key", "epoch_id")
+    pts = read_gts(spark, str(d), metrics_only=True).filter(F.col("ts") < "2025-01-02")
+    expected = rollup_tier(
+        pts.selectExpr("cast(0 as int) bucket", "metric", "ts", "value"), "1 minute"
+    ).drop("bucket")
+    cols = sorted(expected.columns)
+    got = streamed.filter(F.col("window_start") < "2025-01-02").select(cols)
+    assert got.exceptAll(expected.select(cols)).count() == 0
+    assert expected.select(cols).exceptAll(got).count() == 0
