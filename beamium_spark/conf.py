@@ -37,6 +37,7 @@ class ScraperConf:
     period_s: int = 60
     metrics: list[str] = field(default_factory=list)  # whitelist regexes
     labels: dict = field(default_factory=dict)
+    drop_label_keys: list[str] = field(default_factory=list)  # filtered_labels
 
 
 @dataclass
@@ -90,6 +91,41 @@ def _env_labels(prefix: str = "BEAMIUM_LABEL_") -> dict:
         for k, v in os.environ.items()
         if k.startswith(prefix)
     }
+
+
+_DUR_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?\s*$", re.IGNORECASE)
+_SIZE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([kmgt]?i?b?)?\s*$", re.IGNORECASE)
+_SIZE_MULT = {"": 1, "b": 1}
+for _i, _p in enumerate("kmgt"):
+    _SIZE_MULT[_p] = 1000 ** (_i + 1)
+    _SIZE_MULT[_p + "b"] = 1000 ** (_i + 1)
+    _SIZE_MULT[_p + "ib"] = 1024 ** (_i + 1)
+
+
+def parse_duration_ms(v, default_unit_ms: int = 1) -> int:
+    """Humanized duration → milliseconds: the reference accepts ``500ms``,
+    ``60s``, ``1m``, ``1h`` (src/conf.rs humanized fields); bare numbers
+    are taken in ``default_unit_ms`` units."""
+    if isinstance(v, (int, float)):
+        return int(v * default_unit_ms)
+    m = _DUR_RE.match(str(v))
+    if not m:
+        raise ValueError(f"bad duration: {v!r}")
+    n, unit = float(m.group(1)), (m.group(2) or "").lower()
+    mult = {"": default_unit_ms, "ms": 1, "s": 1000, "m": 60000,
+            "h": 3600000, "d": 86400000}[unit]
+    return int(n * mult)
+
+
+def parse_size_bytes(v) -> int:
+    """Humanized size → bytes (``2Kb``, ``100Gb``, ``1GiB``; decimal for
+    k/M/G, binary for *iB)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    m = _SIZE_RE.match(str(v))
+    if not m:
+        raise ValueError(f"bad size: {v!r}")
+    return int(float(m.group(1)) * _SIZE_MULT[(m.group(2) or "").lower()])
 
 
 _HJSON_LINE_COMMENT = re.compile(r"^\s*(//|#)")
@@ -222,9 +258,10 @@ def load_conf(source) -> EngineConf:
         ScraperConf(
             name=name,
             format=s.get("format", "prometheus"),
-            period_s=int(s.get("period", 60000)) // 1000,
+            period_s=parse_duration_ms(s.get("period", 60000)) // 1000,
             metrics=list(s.get("metrics", [])),
             labels=labels_of(s.get("labels", {})),
+            drop_label_keys=list(s.get("filtered_labels", [])),
         )
         for name, s in (raw.get("scrapers") or {}).items()
     ]
@@ -233,21 +270,24 @@ def load_conf(source) -> EngineConf:
             name=name,
             table=s.get("table", name),
             selector=s.get("selector"),
-            ttl_hours=float(s.get("ttl", 3600)) / 3600.0,
-            size_bytes=int(s.get("size", 1 << 30)),
+            # reference ttl default 1h, bare numbers are SECONDS
+            # (src/conf.rs:350-359)
+            ttl_hours=parse_duration_ms(s.get("ttl", 3600), 1000) / 3600000.0,
+            size_bytes=parse_size_bytes(s.get("size", 1 << 30)),
             parallel=int(s.get("parallel", 1)),
         )
         for name, s in (raw.get("sinks") or {}).items()
     ]
     p = raw.get("parameters") or {}
+    bo = p.get("backoff") or {}
     params = ParametersConf(
-        batch_size=int(p.get("batch-size", 200_000)),
+        batch_size=parse_size_bytes(p.get("batch-size", 200_000)),
         batch_count=int(p.get("batch-count", 250)),
-        scan_period_s=float(p.get("scan-period", 1000)) / 1000.0,
-        backoff_initial_s=float(p.get("backoff", {}).get("initial", 500)) / 1000.0,
-        backoff_max_s=float(p.get("backoff", {}).get("max", 60000)) / 1000.0,
-        backoff_multiplier=float(p.get("backoff", {}).get("multiplier", 1.5)),
-        backoff_randomization=float(p.get("backoff", {}).get("randomization", 0.3)),
+        scan_period_s=parse_duration_ms(p.get("scan-period", 1000)) / 1000.0,
+        backoff_initial_s=parse_duration_ms(bo.get("initial", 500)) / 1000.0,
+        backoff_max_s=parse_duration_ms(bo.get("max", 60000)) / 1000.0,
+        backoff_multiplier=float(bo.get("multiplier", 1.5)),
+        backoff_randomization=float(bo.get("randomization", 0.3)),
     )
     labels = labels_of(raw.get("labels", {}))
     labels.update(_env_labels())

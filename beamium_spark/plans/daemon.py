@@ -68,7 +68,7 @@ class ScrapeDaemon:
     # ---- scrape (S1/S4 + P1/P2 + F1-F3 + per-scraper P3) ------------------
 
     def scrape_points(self) -> DataFrame:
-        from beamium_spark.functions.labels import add_labels
+        from beamium_spark.functions.labels import add_labels, remove_labels
         from beamium_spark.sources.gts import read_gts, read_prometheus
 
         parts = []
@@ -87,6 +87,10 @@ class ScrapeDaemon:
                 )
             if sc.labels:
                 pts = pts.withColumn("labels", add_labels(F.col("labels"), sc.labels))
+            if sc.drop_label_keys:  # scraper filtered_labels (scraper.rs:212)
+                pts = pts.withColumn(
+                    "labels", remove_labels(F.col("labels"), sc.drop_label_keys)
+                )
             parts.append(pts.select("ts", "metric", "labels", "value"))
         out = parts[0]
         for p in parts[1:]:

@@ -175,3 +175,57 @@ def test_conf_watch_debounce(tmp_path):
     finally:
         time.monotonic = real_monotonic
     assert n == 1 and seen == ["2"]
+
+
+def test_conf_reference_sample_shape(tmp_path):
+    """A config written in the reference's own sample style — humanized
+    durations/sizes (60s, 1h, 100Gb, 2Kb, 500ms), filtered_labels,
+    selectors — loads with the documented semantics."""
+    from beamium_spark.conf import load_conf
+
+    (tmp_path / "config.yaml").write_text(
+        """
+scrapers:
+  scraper1:
+    url: http://127.0.0.1:9100/metrics
+    period: 60s
+    format: prometheus
+    labels:
+      dc: gra
+    filtered_labels:
+      - jobid
+    metrics:
+      - node.*
+sinks:
+  source1:
+    url: WARP10_ENDPOINT
+    token: WARP10_TOKEN
+    selector: metrics.*
+    ttl: 1h
+    size: 100Gb
+    parallel: 1
+labels:
+  env: prod
+parameters:
+  scan-period: 1s
+  batch-count: 250
+  batch-size: 2Kb
+  backoff:
+    initial: 500ms
+    max: 1m
+    multiplier: 1.5
+    randomization: 0.3
+"""
+    )
+    c = load_conf(str(tmp_path / "config.yaml"))
+    s = c.scrapers[0]
+    assert s.period_s == 60 and s.format == "prometheus"
+    assert s.labels == {"dc": "gra"} and s.drop_label_keys == ["jobid"]
+    assert s.metrics == ["node.*"]
+    k = c.sinks[0]
+    assert k.selector == "metrics.*" and k.ttl_hours == 1.0
+    assert k.size_bytes == 100_000_000_000
+    assert c.labels["env"] == "prod"
+    p = c.parameters
+    assert p.scan_period_s == 1.0 and p.batch_size == 2000
+    assert p.backoff_initial_s == 0.5 and p.backoff_max_s == 60.0
