@@ -285,9 +285,11 @@ def portable_hash60(c: Column) -> Column:
 def simhash(text: Column, n: int = 3, bits: int = 60, hash_mode: str = "md5") -> Column:
     """SimHash over word n-grams: bit b of the result is the majority vote
     of bit b across all token hashes (Charikar 2002). Catalyst-only — the
-    per-bit popcounts are unrolled expressions (shift amounts must be
-    Python ints); at extreme token counts the mapInPandas + numpy popcount
-    variant would be the faster path.
+    per-bit popcounts are unrolled expressions, each of which re-inlines
+    the tokenization after projection collapse; fine for one-off column
+    use, but the production pipeline (``simhash_pairs``) computes token
+    hashes once and reduces them with the Arrow-vectorized
+    ``_simhash_from_hashes`` instead (bit-identical output).
 
     ``hash_mode='md5'`` (default) uses the engine-neutral 60-bit md5-prefix
     token hash so a DuckDB oracle reproduces the result bit-for-bit;
