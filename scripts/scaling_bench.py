@@ -118,6 +118,29 @@ Plan-level scaling evidence (what holds at real cluster N→4N):
   read parallelism is bounded by data, not layout.
 
 Raw JSON: BENCH/scaling.json
+
+## Approximate-operator recall (measured, k=10, 20 queries)
+
+| operator / config | sf0.001 | sf0.01 |
+| --- | --- | --- |
+| IVF (8 centroids, nprobe 6, seed codebook) | 0.960 | 0.955 |
+| IVF (8 centroids, nprobe 6, 1 k-means pass) | 0.945 | 0.925 |
+| IVF (16 centroids, nprobe 8, 1 k-means pass) | 0.910 | 0.910 |
+| hyperplane LSH top-k (2 bits, 2 probes) | 0.835 | 0.820 |
+| banded-LSH embedding near-dup (16x8 bits, cos>=0.95) | 1.000 | 1.000 |
+| MinHash-LSH dedup (128 perms, 32 bands, j>=0.8) | 1.000 | 1.000 |
+
+Near-dup/MinHash recall 1.0 is verified against the exact brute-force
+oracle in CORRECTNESS (hash-equality, planted near-duplicates); the
+synthetic embeddings are unclustered, which is the worst case for
+IVF/LSH top-k — real embedding corpora cluster and improve both.
+
+## Small-query caveat
+
+Sub-5-second queries (dedup/near-dup/events/gapfill at sf=0.1) are
+dominated by fixed per-stage costs, so their thread-packed "efficiency"
+is not informative; the informative rows are the >10 s compute-bound
+headlines.
 """)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
