@@ -94,11 +94,14 @@ def _env_labels(prefix: str = "BEAMIUM_LABEL_") -> dict:
 
 
 _DUR_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?\s*$", re.IGNORECASE)
-_SIZE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([kmgt]?i?b?)?\s*$", re.IGNORECASE)
+# unit group: optional k/m/g/t prefix (with optional binary 'i'), optional
+# 'b' — a bare 'i' ('5i') fails the match and raises ValueError, never KeyError
+_SIZE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*((?:[kmgt]i?)?b?)\s*$", re.IGNORECASE)
 _SIZE_MULT = {"": 1, "b": 1}
 for _i, _p in enumerate("kmgt"):
     _SIZE_MULT[_p] = 1000 ** (_i + 1)
     _SIZE_MULT[_p + "b"] = 1000 ** (_i + 1)
+    _SIZE_MULT[_p + "i"] = 1024 ** (_i + 1)
     _SIZE_MULT[_p + "ib"] = 1024 ** (_i + 1)
 
 

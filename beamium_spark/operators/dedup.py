@@ -258,20 +258,54 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    ga = sigs.select(F.col("id").alias("id_a"), F.col("__grams").alias("g_a"))
-    gb = sigs.select(F.col("id").alias("id_b"), F.col("__grams").alias("g_b"))
-    verified = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+    verified = _verify_jaccard_pruned(cand, sigs.select("id", "__grams"), threshold)
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _verify_jaccard_pruned(
+    cand: DataFrame, grams_src: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs with the gram
+    arrays pruned to candidate docs FIRST.
+
+    The distinct candidate-id set (≪ corpus at any sane dup rate) is
+    broadcast into a semi-join against ``grams_src`` (id, __grams), so the
+    full corpus's gram arrays never enter an exchange — grams leave their
+    scan only for docs that actually appear in a candidate pair, then flow
+    through two candidate-sized id-joins. A plain semi/inner join without
+    the broadcast hint would sort-merge and ship EVERY doc's __grams array
+    through the shuffle — the shape this replaces. (If the candidate-id
+    set ever outgrew broadcast range — a corpus that is mostly duplicates —
+    pre-bucketing ``grams_src`` by id and co-partitioning the candidates
+    is the fallback; at dedup thresholds the id set is tiny.)
+
+    ``cand`` may carry extra columns (e.g. simhash hamming); they pass
+    through. Adds ``jaccard``; keeps pairs ≥ threshold.
+    """
+    cand = cand.cache()  # referenced three times: id set + both id-joins
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    pruned = grams_src.join(F.broadcast(cand_ids), "id", "left_semi")
+    return (
+        cand.join(
+            pruned.select(F.col("id").alias("id_a"), F.col("__grams").alias("g_a")),
+            "id_a",
+        )
+        .join(
+            pruned.select(F.col("id").alias("id_b"), F.col("__grams").alias("g_b")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("g_a", "g_b"))
             / F.size(F.array_union("g_a", "g_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .drop("g_a", "g_b")
     )
-    return verified
 
 
 def portable_hash60(c: Column) -> Column:
@@ -373,10 +407,13 @@ def simhash_pairs(
     sh = base.select(
         "id", _simhash_from_hashes(F.col("__h"), bits).alias("sh"), "__grams"
     ).cache()
+    # scale shape: the banded self-join exchanges ONLY (id, band, bh) —
+    # ~20 B/row × 4 bands — never the simhash (refetched by id below) and
+    # never the gram arrays (refetched for hamming-surviving pairs only).
+    # Mirrors minhash_lsh_pairs' narrow banding; the round-2 form carried
+    # sh + __grams through the exchange 4× per doc.
     banded = sh.select(
         "id",
-        "sh",
-        "__grams",
         F.explode(
             F.array(
                 *[
@@ -390,7 +427,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "sh", "__grams", "b.band", "b.bh")
+    ).select("id", "b.band", "b.bh")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -399,32 +436,35 @@ def simhash_pairs(
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-            F.col("l.__grams").alias("g_a"),
-            F.col("r.__grams").alias("g_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    out = cand.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).filter(F.col("hamming") <= max_hamming)
+    sh_narrow = sh.select("id", "sh")
+    out = (
+        cand.join(sh_narrow.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_narrow.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
     if jaccard_verify is not None:
-        out = out.withColumn(
-            "jaccard",
-            F.size(F.array_intersect("g_a", "g_b"))
-            / F.size(F.array_union("g_a", "g_b")),
-        ).filter(F.col("jaccard") >= jaccard_verify)
+        out = _verify_jaccard_pruned(out, sh.select("id", "__grams"), jaccard_verify)
     return out.select("id_a", "id_b", "hamming")
 
 
 def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over dup pairs → (id, rep) with rep = min id of
-    the component. Iterative min-label propagation; iteration count bounded
-    by component diameter (dup clusters are shallow in practice)."""
+    the component.
+
+    Min-label propagation over edges, plus a pointer-jumping shortcut per
+    round (rep := rep-of-rep — the label graph halves in depth every
+    iteration, the public parent-doubling idea behind large-star/small-star,
+    Kiveris et al., SoCC'14), so convergence takes O(log diameter) rounds:
+    a 1000-hop path converges in ~10 iterations instead of 1000. Each round
+    is two narrow (id, rep) joins; one driver-synced convergence count per
+    round (bounded control plane).
+
+    Raises ``RuntimeError`` if the loop exits without converging — silent
+    partial labels would split a dup cluster downstream."""
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
@@ -436,6 +476,7 @@ def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("rep", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels.withColumnRenamed("id", "y2"), F.col("y") == F.col("y2"))
@@ -448,6 +489,19 @@ def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 "id", F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias("rep")
             )
         )
+        # pointer jumping: rep := min(rep, rep's rep). reps are always node
+        # ids present in labels, so the lookup join is total; min-monotone,
+        # so the final fixpoint (min id reachable) is unchanged — only the
+        # number of rounds to reach it drops from O(diameter) to O(log).
+        jump = new_labels.select(
+            F.col("id").alias("__rid"), F.col("rep").alias("__rrep")
+        )
+        new_labels = new_labels.join(
+            jump, new_labels.rep == jump.__rid, "left"
+        ).select(
+            "id",
+            F.least(F.col("rep"), F.coalesce("__rrep", F.col("rep"))).alias("rep"),
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -456,5 +510,10 @@ def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels.localCheckpoint()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"cluster_representatives did not converge in {max_iters} iterations"
+        )
     return labels

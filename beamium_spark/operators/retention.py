@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def ttl_cutoff_date(now_ts: str, ttl_hours: int) -> str:
+def ttl_cutoff_date(now_ts: str, ttl_hours: float) -> str:
     """Partition cutoff (date granularity) for a TTL; conservative: only
     partitions strictly older than the cutoff *date* are dropped whole."""
     import datetime as dt
@@ -33,15 +33,19 @@ def ttl_cutoff_date(now_ts: str, ttl_hours: int) -> str:
     return (now - dt.timedelta(hours=ttl_hours)).date().isoformat()
 
 
-def ttl_evict(store, table: str, now_ts: str, ttl_hours: int) -> dict:
+def ttl_evict(store, table: str, now_ts: str, ttl_hours: float) -> dict:
     """Drop whole chunk partitions past TTL, then row-level trim the
-    boundary partition. Returns counters (beamium_skip_ttl analogue)."""
+    boundary partition. Returns counters (beamium_skip_ttl analogue).
+
+    ``ttl_hours`` may be fractional (the reference accepts bare seconds
+    and sub-hour humanized ttls like '30m', src/conf.rs:350-359) — the
+    cutoff is carried in whole seconds, never truncated to hours."""
     cutoff_date = ttl_cutoff_date(now_ts, ttl_hours)
     parts = store.drop_partitions_older_than(table, cutoff_date)
     rows = 0
     if store.exists(table):
         cutoff_expr = F.lit(now_ts).cast("timestamp") - F.expr(
-            f"interval {ttl_hours} hours"
+            f"interval {int(round(ttl_hours * 3600))} seconds"
         )
         rows = store.delete_where(table, F.col("chunk_start") < cutoff_expr)
     return {"expired_partitions": parts, "expired_rows": rows}

@@ -142,20 +142,24 @@ def repartition_for_write(tier: DataFrame, n_partitions: int, chunk: str = "1 ho
 
 
 def url_cardinality(
-    pages: DataFrame, window: str = "1 hour", rsd: float = 0.02
+    pages: DataFrame, window: str = "1 hour", rsd: float = 0.02,
+    exact: bool = False,
 ) -> DataFrame:
     """Distinct-URL cardinality per window (SURVEY §2.5 optional op).
 
-    Emits both the HLL++ sketch estimate (``approx_urls`` — one-pass,
-    mergeable, the only sane form at 10^12 docs) and the exact
-    ``countDistinct`` (two-phase shuffle on url — the verification
-    baseline; at production scale run with ``exact=False``).
+    Default (``exact=False``) emits only the HLL++ sketch estimate
+    (``approx_urls`` — one-pass, mergeable, the only sane form at 10^12
+    docs). ``exact=True`` additionally computes ``exact_urls`` via
+    ``countDistinct`` — a full two-phase shuffle on ``url``, for
+    verification/gating only, never the production path.
     """
+    aggs = [F.approx_count_distinct("url", rsd).alias("approx_urls")]
+    cols = ["approx_urls"]
+    if exact:
+        aggs.insert(0, F.countDistinct("url").alias("exact_urls"))
+        cols.insert(0, "exact_urls")
     return (
         pages.groupBy(F.window("warc_ts", window).alias("w"))
-        .agg(
-            F.countDistinct("url").alias("exact_urls"),
-            F.approx_count_distinct("url", rsd).alias("approx_urls"),
-        )
-        .select(F.col("w.start").alias("window_start"), "exact_urls", "approx_urls")
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *cols)
     )

@@ -112,10 +112,14 @@ def lsh_topk(
     (plus ``multiprobe`` 1-bit-flip neighbor buckets). Recall improves with
     probes; cost ~ (1+probes)·n/2^bits candidates per query.
 
-    Pass ``dim`` explicitly in production — the fallback probes the (small)
-    query set with a driver action at plan-build time."""
+    ``dim`` is required: deriving it would take a driver action (a
+    ``.first()`` over the query set) at plan-build time — a hidden job in
+    the middle of declaring a plan."""
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim= (the embedding dimension); deriving it "
+            "would run a hidden driver action at plan-build time"
+        )
     planes = _hyperplanes(dim, bits, seed)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -324,7 +328,10 @@ def embedding_near_dup_lsh(
     CORRECTNESS). Candidate count on far pairs stays ~n²·0.5^r·B /
     bucket-balance, i.e. pruned by ~2^8 per band vs all-pairs."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_near_dup_lsh requires dim= (the embedding dimension); "
+            "deriving it would run a hidden driver action at plan-build time"
+        )
     planes = _hyperplanes(dim, bands * band_bits, seed)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     keys = _band_keys_arrow(planes, band_bits)(F.col("vec"))

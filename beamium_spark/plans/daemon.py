@@ -145,7 +145,9 @@ class ScrapeDaemon:
                 continue
             r: dict = {}
             if sink.ttl_hours:
-                r.update(ttl_evict(self.store, sink.table, now_ts, int(sink.ttl_hours)))
+                # fractional hours pass through untruncated: a 30m ttl must
+                # evict at now-30m, not at now (int() would wipe the table)
+                r.update(ttl_evict(self.store, sink.table, now_ts, sink.ttl_hours))
             if sink.size_bytes:
                 r.update(size_cap_evict(self.store, sink.table, sink.size_bytes))
             out[sink.table] = r

@@ -39,7 +39,7 @@ from beamium_spark.sources.tables import ParquetTierStore
 
 @dataclass
 class RetentionPolicy:
-    ttl_hours: int | None = None
+    ttl_hours: float | None = None
     cap_bytes: int | None = None
 
 
@@ -131,10 +131,23 @@ class RollupJob:
         # scraped = raw page rows scanned (beamium_fetch_datapoints);
         # filtered = F1-dropped pages + F2/F3-dropped candidate points —
         # counted directly, never inferred from the fan-out factor (which
-        # breaks under metric_whitelist / non-default families).
+        # breaks under metric_whitelist / non-default families). The
+        # counting scan admits NULL-warc_ts rows explicitly (the range
+        # predicate above would silently exclude them): such rows can never
+        # join a chunk, so like beamium's malformed lines they are
+        # re-scraped and re-counted as filtered by every pass that has
+        # pending work.
         from beamium_spark.operators.extract import METRICS
 
-        pg = pages.agg(
+        count_src = self.spark.read.parquet(self.pages_path).filter(
+            F.col("warc_ts").isNull()
+            | (
+                (F.col("warc_ts") >= F.lit(lo))
+                & (F.col("warc_ts") < F.lit(hi) + F.expr("interval 1 hour"))
+                & F.date_trunc("hour", "warc_ts").isin(pending)
+            )
+        )
+        pg = count_src.agg(
             F.count(F.lit(1)).alias("scraped"),
             F.count(
                 F.when(F.col("url").isNotNull() & F.col("warc_ts").isNotNull(), 1)
@@ -182,7 +195,6 @@ class RollupJob:
             .withColumn("chunk_start", F.col("window_start"))
         )
         fwd_1h = self._write_tier_data(t1h, "rollup_1h")
-        self.manifest.commit(run_id, pending, "rollup_1h", forwarded=fwd_1h)
         t1d = (
             rollup_cascade(
                 self.store.read("rollup_1h").filter(
@@ -193,7 +205,6 @@ class RollupJob:
             .withColumn("chunk_start", F.col("window_start"))
         )
         fwd_1d = self._write_tier_data(t1d, "rollup_1d")
-        self.manifest.commit(run_id, touched_days, "rollup_1d", forwarded=fwd_1d)
 
         # the resumability fence: only now is the chunk "forwarded"
         commit_with_retry(
@@ -205,6 +216,15 @@ class RollupJob:
                 run_id, "commit_ok", f"rollup_1m:attempts={n}"
             ),
         )
+        # 1h/1d manifest rows (counters only — discovery keys on rollup_1m)
+        # land AFTER the fence: a crash between a tier commit and the fence
+        # would otherwise replay the chunk and double-count those tiers'
+        # 'forwarded'. The flip side — a crash right after the fence loses
+        # this run's 1h/1d counter rows — undercounts a crashed run's
+        # observability tally but never its data (both tiers' data writes
+        # precede the fence).
+        self.manifest.commit(run_id, pending, "rollup_1h", forwarded=fwd_1h)
+        self.manifest.commit(run_id, touched_days, "rollup_1d", forwarded=fwd_1d)
         self.manifest.record_event(run_id, "run_complete", f"chunks={len(pending)}")
 
         points.unpersist()

@@ -30,10 +30,13 @@ def get_spark(
     mem = os.environ.get("BEAMIUM_SPARK_DRIVER_MEM", "16g")
     if master is None:
         master = f"local[{cpus}]"
+    # core count of the local[N] master (local[*]/non-local → env cpus);
+    # this — NOT shuffle_partitions, which a caller may set to 2-3x cores —
+    # sizes the JVM-internal pools below
+    n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+    cores = cpus if n in ("*", "") else int(n)
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → all cores
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("*", "") else int(n)
+        shuffle_partitions = cores
 
     builder = (
         SparkSession.builder.master(master)
@@ -68,7 +71,7 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             f"-XX:G1HeapRegionSize=32m -Xms{mem} -XX:+AlwaysPreTouch "
-            f"-XX:ActiveProcessorCount={os.environ.get('BEAMIUM_JVM_PROCS', shuffle_partitions)}",
+            f"-XX:ActiveProcessorCount={os.environ.get('BEAMIUM_JVM_PROCS', cores)}",
         )
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )

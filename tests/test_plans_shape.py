@@ -79,3 +79,104 @@ def test_broadcast_for_small_dims(spark, pages):
     plan = _plan(ivf_topk(vecs, qs, k=5, n_centroids=4, nprobe=2))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- LSH shuffle-payload invariants (dedup at 100 TB) ----------------------
+#
+# The banded self-joins must exchange ONLY narrow (id, band, bh) rows, and
+# gram arrays may enter an exchange only AFTER the broadcast semi-join prune
+# to candidate ids — otherwise the shuffle payload is the corpus's n-gram
+# text (x4 per doc for simhash bands), the round-2 scale bug.
+
+
+def _formatted_plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def _tree_nodes(tree: str):
+    """[(depth, node_id, name)] from the formatted-explain tree section."""
+    import re
+
+    out = []
+    for ln in tree.splitlines():
+        m = re.match(r"^([ :+\-*]*)(\S.*?)\s+\((\d+)\)\s*$", ln)
+        if m:
+            out.append((len(m.group(1)), int(m.group(3)), m.group(2)))
+    return out
+
+
+def _subtree(nodes, i):
+    d = nodes[i][0]
+    j = i + 1
+    while j < len(nodes) and nodes[j][0] > d:
+        j += 1
+    return nodes[i:j]
+
+
+def _grams_exchange_safety(df, col: str):
+    """Every Exchange whose input carries ``col`` must sit above (contain in
+    its subtree) the BroadcastHashJoin LeftSemi prune; exchanges keyed on the
+    LSH bands must never carry ``col``."""
+    import re
+
+    plan = _formatted_plan(df)
+    tree, _, details = plan.partition("\n\n")
+    blocks = {}
+    for m in re.finditer(
+        r"^\((\d+)\) ([^\n]*)\n((?:(?!^\(\d+\) ).*\n?)*)", details, re.M
+    ):
+        blocks[int(m.group(1))] = m.group(2) + "\n" + m.group(3)
+    nodes = _tree_nodes(tree)
+    assert nodes, "could not parse formatted plan tree"
+    carrying = []
+    for i, (_d, nid, name) in enumerate(nodes):
+        if not name.startswith("Exchange"):
+            continue
+        blk = blocks.get(nid, "")
+        first_line = blk.splitlines()[0] if blk else ""
+        inp = "\n".join(
+            ln for ln in blk.splitlines() if ln.startswith(("Input", "Arguments"))
+        )
+        if "hashpartitioning(band" in blk or "hashpartitioning(bh" in blk:
+            assert col not in inp and ", sh#" not in inp, (
+                f"band exchange {nid} carries wide payload: {first_line}"
+            )
+        if col in inp:
+            sub = _subtree(nodes, i)
+            assert any("LeftSemi" in n[2] for n in sub), (
+                f"exchange {nid} ships {col} for the FULL corpus "
+                f"(no semi-join prune upstream)"
+            )
+            carrying.append(nid)
+    # the prune itself must exist in the plan
+    assert "LeftSemi" in plan
+
+
+def test_lsh_band_exchanges_are_narrow(spark):
+    """simhash_pairs and minhash_lsh_pairs: with broadcast disabled (so the
+    planner must materialize every exchange), no exchange ships the corpus's
+    gram arrays — bands shuffle narrow, grams attach only post-prune."""
+    from beamium_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        _grams_exchange_safety(
+            simhash_pairs(docs, max_hamming=3, jaccard_verify=0.8), "__grams"
+        )
+        _grams_exchange_safety(minhash_lsh_pairs(docs, threshold=0.8), "__grams")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

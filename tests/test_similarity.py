@@ -54,8 +54,13 @@ def test_lsh_recall(vecs, queries):
     exact = cosine_topk(vecs, queries, k=10).cache()
     # these embeddings are unclustered — few bits + multiprobe is the right
     # operating point (measured: 2 bits/2 probes → 0.82, 8 bits → 0.04)
-    approx = lsh_topk(vecs, queries, k=10, bits=2, multiprobe=2).cache()
+    approx = lsh_topk(vecs, queries, k=10, bits=2, multiprobe=2, dim=64).cache()
     assert _recall(approx, exact, 10) >= 0.6
+
+
+def test_lsh_topk_requires_dim(vecs, queries):
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(vecs, queries, k=10, bits=2)
 
 
 def test_ivf_recall(vecs, queries):
