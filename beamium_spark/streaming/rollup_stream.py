@@ -88,19 +88,23 @@ def run_stream_to_store(
     checkpoint_dir: str,
     watermark: str = "10 minutes",
     bucket_mode: str = "hash",
+    max_files_per_trigger: int = 4,
+    table: str = "stream_rollup_1m",
 ):
     """Drive the streaming 1m tier into a ParquetTierStore with
     ``foreachBatch`` (exactly-once: Structured Streaming's epoch id +
     idempotent chunk overwrite). Returns the StreamingQuery; callers use
     ``processAllAvailable()`` for deterministic drains in tests."""
     agg = streaming_rollup_1m(
-        read_pages_stream(spark, pages_dir), watermark, bucket_mode
+        read_pages_stream(spark, pages_dir, max_files_per_trigger),
+        watermark,
+        bucket_mode,
     )
 
     return (
         agg.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(epoch_fenced_sink(store))
+        .foreachBatch(epoch_fenced_sink(store, table))
         .start()
     )
 
@@ -174,6 +178,49 @@ def read_gts_stream(spark: SparkSession, path: str, metrics_only: bool = True) -
             F.col("p.value").try_cast("double").alias("value"),
         )
         .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+
+
+def gts_stream_counters(
+    spark: SparkSession, path: str, metrics_only: bool = True
+) -> DataFrame:
+    """Line-disposition counters for the streaming GTS source — the
+    observability companion to :func:`read_gts_stream`, which must DROP
+    ``=``-continuation lines (file order is unobservable in a text stream).
+    Instead of a silent filter, this stream counts every disposition:
+
+    - ``lines``                 — raw lines scanned (beamium_fetch_datapoints)
+    - ``points``                — parsed, finite-valued points forwarded
+    - ``skipped_continuation``  — ``=``-continuation lines (replay archives
+                                  through batch ``read_gts(continuation=True)``
+                                  to keep them)
+    - ``skipped_comment_blank`` — comments / empty lines
+    - ``skipped_invalid``       — malformed or non-finite-valued lines
+
+    A global streaming aggregate: drive with ``outputMode('complete')``
+    (state is one row). Tested in tests/test_streaming.py."""
+    from beamium_spark.functions.labels import parse_gts_line
+
+    reader = spark.readStream
+    if metrics_only:
+        reader = reader.option("pathGlobFilter", "*.metrics")
+    lines = reader.text(path).select(F.trim("value").alias("l"))
+    is_cont = F.col("l").startswith("=")
+    is_comment = (F.col("l") == "") | F.col("l").startswith("#")
+    p = parse_gts_line(F.col("l"))
+    v = F.col("__v")
+    parsed = lines.withColumn("__v", p["value"].try_cast("double"))
+    # same disposition as read_gts_stream's filter (NULL/NaN dropped; GTS is
+    # a passthrough dialect, so parses are counted exactly as forwarded)
+    is_point = ~is_cont & ~is_comment & v.isNotNull() & ~F.isnan(v)
+    return parsed.agg(
+        F.count("*").alias("lines"),
+        F.count(F.when(is_point, 1)).alias("points"),
+        F.count(F.when(is_cont, 1)).alias("skipped_continuation"),
+        F.count(F.when(is_comment, 1)).alias("skipped_comment_blank"),
+        F.count(F.when(~is_cont & ~is_comment & ~is_point, 1)).alias(
+            "skipped_invalid"
+        ),
     )
 
 

@@ -103,3 +103,21 @@ def test_simhash_xxhash64_mode(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in range(5):
         assert (i, 10_000 + i) in got
+
+
+def test_cluster_representatives_deep_path(spark):
+    """A 40-hop path (deeper than max_iters) must converge via the
+    pointer-jumping shortcut — O(log diameter), not O(diameter)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["rep"] for r in cluster_representatives(pairs).collect()}
+    assert all(rep == 0 for rep in labels.values())
+
+
+def test_cluster_representatives_raises_on_nonconvergence(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        cluster_representatives(pairs, max_iters=2)

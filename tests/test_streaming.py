@@ -130,3 +130,41 @@ def test_gts_stream_matches_batch(spark, tmp_path):
     got = streamed.filter(F.col("window_start") < "2025-01-02").select(cols)
     assert got.exceptAll(expected.select(cols)).count() == 0
     assert expected.select(cols).exceptAll(got).count() == 0
+
+
+def test_gts_stream_counters(spark, tmp_path):
+    """The streaming GTS source drops =-continuation lines by design; the
+    counters stream must surface that (skipped_continuation) instead of a
+    silent filter, plus the comment/invalid dispositions."""
+    from beamium_spark.streaming.rollup_stream import gts_stream_counters
+
+    d = tmp_path / "gts"
+    d.mkdir()
+    base = 1735689600000000
+    (d / "a.metrics").write_text(
+        f"{base}// cpu{{h=a}} 1.0\n"
+        f"= 2.0\n"               # continuation (dropped in the stream)
+        f"# comment\n"
+        f"\n"                    # blank
+        f"{base}// cpu{{h=a}} NaN\n"   # non-finite -> invalid
+        f"{base}// mem{{h=a}} 3.5\n"
+    )
+    (d / "skipme.txt").write_text("not metrics\n")  # extension filter
+
+    counts = gts_stream_counters(spark, str(d))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("gts_counters")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.sql("select * from gts_counters").collect()[0]
+    assert row["lines"] == 6
+    assert row["points"] == 2
+    assert row["skipped_continuation"] == 1
+    assert row["skipped_comment_blank"] == 2
+    assert row["skipped_invalid"] == 1
