@@ -22,6 +22,12 @@ Scale notes (the whole point of LSH here):
   missed with probability (1-j^R)^B — 1e-7 at j=0.8, B=32, R=4 — so the
   exact-verify stage makes the output equal to the brute-force answer
   w.h.p. while scaling ~linearly.
+- Exchange payloads stay narrow end-to-end: band joins ship only
+  (id, band, key) rows for BOTH minhash and simhash, and the verify
+  stages prune gram arrays to candidate docs via a broadcast semi-join
+  before attaching them (``_verify_jaccard_pruned``) — the corpus's
+  n-gram text never enters a shuffle. Pinned by
+  tests/test_plans_shape.py::test_lsh_band_exchanges_are_narrow.
 - dedup *clusters* come from connected components over pairs; we provide
   one union-find pass per partition + iterative min-propagation
   (``cluster_representatives``) bounded by component diameter.

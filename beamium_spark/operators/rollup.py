@@ -30,7 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
@@ -139,6 +139,71 @@ def repartition_for_write(tier: DataFrame, n_partitions: int, chunk: str = "1 ho
         "chunk_start", F.date_trunc("hour" if chunk == "1 hour" else "day", "window_start")
     )
     return chunked.repartition(n_partitions, "bucket", "chunk_start")
+
+
+def rollup_percentiles(
+    points: DataFrame,
+    window: str = "1 hour",
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+    ts_col: str = "ts",
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-(bucket, metric, window) value percentiles — the latency-style
+    tier aggregate a TSDB adds next to cnt/sum/min/max.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear interpolation,
+    identical to DuckDB ``quantile_cont`` — oracle-able); memory is O(rows
+    per group), bounded by the window×bucket×metric granularity, which is
+    exactly the rollup's shuffle key — fine while windows stay small.
+    ``exact=False`` switches to ``approx_percentile`` (KLL-style sketch,
+    constant memory) — the 10^12-doc form, same plan shape. Percentiles are
+    NOT decomposable, so coarser tiers must recompute from points (or carry
+    the sketch); this operator therefore takes raw points, never a tier."""
+    w = F.window(F.col(ts_col), window)
+    if exact:
+        aggs = [
+            F.percentile("value", F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in percentiles
+        ]
+    else:
+        aggs = [
+            F.approx_percentile("value", F.lit(p), F.lit(accuracy)).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in percentiles
+        ]
+    return (
+        points.groupBy("bucket", "metric", w.alias("w"))
+        .agg(*aggs)
+        .select(
+            "bucket",
+            "metric",
+            F.col("w.start").alias("window_start"),
+            *[f"p{int(p * 100)}" for p in percentiles],
+        )
+    )
+
+
+def top_urls(
+    pages: DataFrame, window: str = "1 hour", k: int = 5
+) -> DataFrame:
+    """Top-k URLs by page count per window (heavy hitters — beamium's
+    per-endpoint fetch counters generalized to the corpus). Two-phase:
+    count per (window, url) — one partial+final hash agg — then a per-window
+    row_number over the counted (already ~k·windows-sized vs raw) frame.
+    Ties break on url asc so results are deterministic and oracle-able.
+    At 10^12 docs the per-window url cardinality bounds the window
+    partition, not the raw row count."""
+    counted = pages.groupBy(
+        F.window("warc_ts", window).alias("w"), "url"
+    ).agg(F.count("*").alias("n"))
+    rank_w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("url"))
+    return (
+        counted.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("w.start").alias("window_start"), "url", "n", "rank")
+    )
 
 
 def url_cardinality(

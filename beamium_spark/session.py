@@ -90,13 +90,15 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_beamium_shipped", False):
         return
-    import shutil
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(tempfile.gettempdir(), "beamium_spark_pyfiles.zip")
-    tmp = zpath + ".tmp"
+    # pid-unique temp + atomic replace: concurrent driver processes (e.g.
+    # the multi-executor bench workers) otherwise race on one shared .tmp
+    # and crash with FileNotFoundError when another's move wins
+    tmp = f"{zpath}.{os.getpid()}.tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
@@ -108,6 +110,6 @@ def _ship_package(spark: SparkSession) -> None:
                         "beamium_spark", os.path.relpath(full, pkg_dir)
                     )
                     z.write(full, rel)
-    shutil.move(tmp, zpath)
+    os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     sc._beamium_shipped = True

@@ -32,6 +32,40 @@ def main() -> None:
         master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
+    if sys.argv[2] == "--scan":
+        # I/O-roofline control: read the shard's full bytes with a
+        # near-zero-compute aggregate — measures the host's (page-cache)
+        # scan bandwidth this executor count can sustain, nothing else.
+        # A FRESH DataFrame per measurement: re-collecting one memoized
+        # plan reuses the partial-agg shuffle files and skips the scan
+        # entirely (measured 360 GB/s — i.e. nothing read).
+        files = sys.argv[3:]
+
+        def scan_agg():
+            return spark.read.parquet(*files).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.octet_length("html")).alias("html_bytes"),
+                F.sum(F.length("text")).alias("text_bytes"),
+            )
+
+        scan_agg().collect()  # warm-up: page cache + codegen
+        t0 = time.monotonic()
+        row = scan_agg().collect()[0]
+        dt = time.monotonic() - t0
+        disk_bytes = sum(os.path.getsize(f) for f in files)
+        print(
+            json.dumps(
+                {
+                    "out": out_dir,
+                    "files": len(files),
+                    "compute_sec": round(dt, 3),
+                    "disk_bytes": disk_bytes,
+                    "decoded_bytes": int(row["html_bytes"] + row["text_bytes"]),
+                }
+            )
+        )
+        spark.stop()
+        return
     if sys.argv[2] == "--points":
         # compute-only shard: synthesize an id-range of points in-memory
         # (no I/O) — isolates engine scaling from the box's shared disk/

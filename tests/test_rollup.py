@@ -81,3 +81,45 @@ def test_avg_derivation(spark, tiny_web_pages):
     t = with_avg(rollup_tier(pts, "1 hour"))
     bad = t.filter(F.abs(F.col("avg_value") - F.col("sum_value") / F.col("cnt")) > 1e-12)
     assert bad.count() == 0
+
+
+def test_rollup_percentiles_exact_vs_approx(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import rollup_percentiles
+
+    rows = [
+        (0, "lat", dt.datetime(2025, 1, 1) + dt.timedelta(minutes=m), float(v))
+        for m, v in enumerate(range(1, 101))
+    ]
+    pts = spark.createDataFrame(
+        rows, "bucket int, metric string, ts timestamp, value double"
+    )
+    t = rollup_percentiles(pts, "1 hour", (0.5, 0.95)).collect()
+    assert len(t) == 2  # minutes 0-59 -> hour 0; 60-99 -> hour 1
+    by_ws = {str(r["window_start"]): r for r in t}
+    r0 = by_ws["2025-01-01 00:00:00"]
+    # values 1..60 in hour 0: p50 = 30.5 (linear interp), p95 = 57.05
+    assert abs(r0["p50"] - 30.5) < 1e-9
+    assert abs(r0["p95"] - 57.05) < 1e-9
+    approx = rollup_percentiles(pts, "1 hour", (0.5,), exact=False).collect()
+    a0 = {str(r["window_start"]): r for r in approx}["2025-01-01 00:00:00"]
+    assert abs(a0["p50"] - 30.5) <= 1.0  # sketch within a value step
+
+
+def test_top_urls_deterministic(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import top_urls
+
+    rows = (
+        [("https://a.example/", dt.datetime(2025, 1, 1, 0, 0))] * 3
+        + [("https://b.example/", dt.datetime(2025, 1, 1, 0, 1))] * 3
+        + [("https://c.example/", dt.datetime(2025, 1, 1, 0, 2))] * 1
+    )
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = top_urls(pages, "1 hour", k=2).collect()
+    assert [(r["url"], r["n"], r["rank"]) for r in out] == [
+        ("https://a.example/", 3, 1),  # tie with b broken by url asc
+        ("https://b.example/", 3, 2),
+    ]
