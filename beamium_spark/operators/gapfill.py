@@ -5,8 +5,11 @@ about never *losing* points; a rollup tier additionally needs explicit
 rows for silent windows so downstream reads see a dense series. Strategy
 options mirror common TSDB semantics:
 
-- ``zero``  — cnt=0, sum=0, min/max NULL (nothing observed)
-- ``ffill`` — carry the last observed tuple forward (locf)
+- ``zero``   — cnt=0, sum=0, min/max NULL (nothing observed)
+- ``ffill``  — carry the last observed tuple forward (locf)
+- ``linear`` — interpolate ``sum_value`` between the surrounding observed
+  windows (cnt=0 on filled rows; min/max stay NULL — interpolating
+  extrema would fabricate data)
 
 Implementation is pure Catalyst (SURVEY.md §2.6 O2): per-series bounds →
 ``sequence()`` over the window grid → ``explode`` → left join observed
@@ -83,6 +86,38 @@ def gapfill(
         out = joined.withColumn("filled", filled_flag)
         for c in ("cnt", "sum_value", "min_value", "max_value"):
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif strategy == "linear":
+        # lerp sum_value between the last observed window before the gap
+        # and the first after it; both exist for every gap row because the
+        # grid spans [min, max] observed windows. Expression ordering is
+        # fixed (prev + slope * dt) so an engine-neutral oracle reproduces
+        # the float result after rounding.
+        wb = (
+            Window.partitionBy("bucket", "metric")
+            .orderBy("window_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy("bucket", "metric")
+            .orderBy("window_start")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        ws_s = F.unix_timestamp("window_start").cast("double")
+        obs_ws = F.when(~filled_flag, ws_s)
+        obs_v = F.when(~filled_flag, F.col("sum_value"))
+        pv = F.last(obs_v, ignorenulls=True).over(wb)
+        pt = F.last(obs_ws, ignorenulls=True).over(wb)
+        nv = F.first(obs_v, ignorenulls=True).over(wf)
+        nt = F.first(obs_ws, ignorenulls=True).over(wf)
+        lerp = pv + (nv - pv) * (ws_s - pt) / (nt - pt)
+        out = (
+            joined.withColumn("filled", filled_flag)
+            .withColumn(
+                "sum_value",
+                F.when(~filled_flag, F.col("sum_value")).otherwise(lerp),
+            )
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        )
     else:
         raise ValueError(f"unknown gapfill strategy: {strategy}")
     return out

@@ -206,6 +206,46 @@ def top_urls(
     )
 
 
+def tier_rate(
+    tier: DataFrame,
+    window: str = "1 minute",
+    value_col: str = "sum_value",
+    counter: bool = False,
+) -> DataFrame:
+    """Per-series derivative over a tier: ``delta`` = value − previous
+    window's value, ``rate`` = delta / window seconds (the PromQL
+    rate/delta family over the continuous aggregate instead of raw
+    samples — at 10^12 docs the tier is the only thing small enough to
+    difference).
+
+    ``counter=True`` applies counter-reset semantics: a negative delta is
+    treated as a reset (the new value IS the increase), like Prometheus
+    ``rate``. First row of each series yields NULLs.
+
+    One window over (bucket, metric) ordered by window_start — the same
+    partitioning every tier already has; no extra exchange when reading a
+    stored tier sorted by the write layout."""
+    step = _WINDOW_SECONDS_RATE[window]
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    prev = F.lag(value_col).over(w)
+    raw_delta = F.col(value_col) - prev
+    if counter:
+        delta = F.when(raw_delta < 0, F.col(value_col)).otherwise(raw_delta)
+    else:
+        delta = raw_delta
+    return tier.select(
+        "bucket",
+        "metric",
+        "window_start",
+        F.col(value_col),
+        delta.alias("delta"),
+        (delta / F.lit(float(step))).alias("rate_per_s"),
+    )
+
+
+_WINDOW_SECONDS_RATE = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+
+
 def url_cardinality(
     pages: DataFrame, window: str = "1 hour", rsd: float = 0.02,
     exact: bool = False,

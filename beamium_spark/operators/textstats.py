@@ -115,3 +115,28 @@ def fingerprint(text: Column, base: int = 131, mod: int = (1 << 31) - 1) -> Colu
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * base + F.length(x) + 1, F.lit(mod)),
     )
+
+
+def token_frequencies(docs, k: int = 100, text_col: str = "text"):
+    """Corpus-wide token frequency table, top-``k`` by count (vocabulary
+    building — the first pass of any tokenizer training run over the
+    corpus). Ties break on token asc so the cut is deterministic.
+
+    Scale shape: explode → ONE partial+final hash aggregate keyed on
+    token (map-side combine collapses each partition to its distinct
+    tokens before the exchange — shuffle rows are bounded by vocabulary
+    size per partition, not corpus token count) → distributed
+    ``orderBy(...).limit(k)`` (TakeOrderedAndProject: each partition
+    contributes its local top-k, the driver merges k·parts rows — never a
+    single-partition global window over the vocabulary). Rank is attached
+    afterwards over the k-row result only."""
+    from pyspark.sql import Window
+
+    counted = (
+        docs.select(F.explode(words(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    topk = counted.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # k rows only
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -65,3 +65,29 @@ def test_global_bounds(spark, tiny_web_pages):
         bounds=("2025-01-01 00:00:00", "2025-01-01 10:00:00"),
     )
     assert dense.count() == 11  # inclusive grid
+
+
+def test_gapfill_linear_interpolates(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.gapfill import gapfill
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (0, "m", t0, 1, 10.0, 10.0, 10.0),
+        # minutes 1, 2 missing
+        (0, "m", t0 + dt.timedelta(minutes=3), 1, 40.0, 40.0, 40.0),
+    ]
+    tier = spark.createDataFrame(
+        rows,
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    out = {
+        r["window_start"].minute: (r["sum_value"], r["cnt"], r["filled"])
+        for r in gapfill(tier, "1 minute", strategy="linear").collect()
+    }
+    assert out[0] == (10.0, 1, False)
+    assert out[1] == (20.0, 0, True)
+    assert out[2] == (30.0, 0, True)
+    assert out[3] == (40.0, 1, False)

@@ -123,3 +123,32 @@ def test_top_urls_deterministic(spark):
         ("https://a.example/", 3, 1),  # tie with b broken by url asc
         ("https://b.example/", 3, 2),
     ]
+
+
+def test_tier_rate_counter_reset(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import tier_rate
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (0, "c", t0, 100.0),
+        (0, "c", t0 + dt.timedelta(minutes=1), 150.0),
+        (0, "c", t0 + dt.timedelta(minutes=2), 10.0),   # counter reset
+        (0, "c", t0 + dt.timedelta(minutes=3), 40.0),
+    ]
+    tier = spark.createDataFrame(
+        rows, "bucket int, metric string, window_start timestamp, sum_value double"
+    )
+    plain = {
+        r["window_start"].minute: r["delta"]
+        for r in tier_rate(tier, "1 minute").collect()
+    }
+    assert plain[0] is None and plain[1] == 50.0 and plain[2] == -140.0
+    counter = {
+        r["window_start"].minute: (r["delta"], r["rate_per_s"])
+        for r in tier_rate(tier, "1 minute", counter=True).collect()
+    }
+    assert counter[1] == (50.0, 50.0 / 60)
+    assert counter[2] == (10.0, 10.0 / 60)  # reset: new value IS the increase
+    assert counter[3] == (30.0, 30.0 / 60)
