@@ -1,0 +1,152 @@
+"""The engine as a runnable process — beamium's binary shape on Spark.
+
+The reference is one daemon started from a layered config file
+(/root/reference/src/main.rs:47-104: parse args → load config → spawn
+scrapers/router/sinks → watch config). This module is that surface for
+``spark-submit``:
+
+    spark-submit --py-files beamium_spark.zip -m ... \
+        python -m beamium_spark --config engine.yaml \
+            --pages /data/web_pages --state /data/state
+
+or locally: ``python -m beamium_spark --config ... --pages ... --state ...``.
+
+Modes:
+
+- default       — run ``RollupJob`` passes until no pending chunks remain
+                  (one-shot catch-up), then exit 0. Kill it anywhere;
+                  rerunning replays exactly the unforwarded chunks.
+- ``--daemon``  — keep polling every ``parameters.scan-period`` like the
+                  reference's scrape ticker, with the 2 s-debounced config
+                  watcher restarting the job from checkpoint on change
+                  (src/main.rs:148-205). ``--max-ticks`` bounds it for
+                  tests/batch windows.
+- ``--scrape``  — conf-driven ``ScrapeDaemon`` over GTS/Prometheus text
+                  directories instead of the web-pages table (the
+                  reference's native input; ``--source name=dir`` pairs).
+
+Retention runs after every pass per sink/tier policy; counters print as
+one JSON line per pass (the /metrics exposition analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="beamium_spark")
+    p.add_argument("--config", action="append", default=[],
+                   help="config file (json/yaml/toml/ini/hjson); repeatable, later wins; "
+                        "defaults to the /etc/beamium + ~/.beamium layering")
+    p.add_argument("--pages", help="web_pages table path (parquet dir)")
+    p.add_argument("--state", required=True, help="state root (tiers + manifest)")
+    p.add_argument("--daemon", action="store_true",
+                   help="poll forever (scan-period cadence) with config hot-reload")
+    p.add_argument("--scrape", action="store_true",
+                   help="conf-driven text-scraper daemon instead of the pages job")
+    p.add_argument("--source", action="append", default=[],
+                   help="(--scrape) scraper input: name=directory; repeatable")
+    p.add_argument("--max-ticks", type=int, default=None,
+                   help="stop after N daemon ticks (default: run forever)")
+    p.add_argument("--max-chunks", type=int, default=None,
+                   help="chunks per pass cap (default: all pending)")
+    p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument("--now", default=None,
+                   help="retention 'now' ISO timestamp (default: wall clock)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from beamium_spark.conf import (
+        EngineConf,
+        default_config_layers,
+        load_conf_layered,
+        watch_and_rerun,
+    )
+    from beamium_spark.session import get_spark
+
+    layers = args.config or default_config_layers()
+    conf = load_conf_layered(layers) if layers else EngineConf()
+    spark = get_spark(app_name="beamium_spark", master=args.master)
+    now_iso = args.now or time.strftime("%Y-%m-%dT%H:%M:%S")
+
+    if args.scrape:
+        from beamium_spark.plans.daemon import ScrapeDaemon, ScraperSource
+
+        by_name = {s.name: s for s in conf.scrapers}
+        sources = []
+        for spec in args.source:
+            name, _, path = spec.partition("=")
+            if name not in by_name:
+                print(f"unknown scraper {name!r} in --source", file=sys.stderr)
+                return 2
+            sources.append(ScraperSource(by_name[name], path))
+        if not sources:
+            print("--scrape requires at least one --source name=dir", file=sys.stderr)
+            return 2
+        daemon = ScrapeDaemon(
+            spark, conf, sources, args.state, now_us=int(time.time() * 1_000_000)
+        )
+        ticks = 0
+        while args.max_ticks is None or ticks < args.max_ticks:
+            report = daemon.run_once()
+            report["retention"] = daemon.apply_retention(now_iso)
+            print(json.dumps(report, default=str), flush=True)
+            ticks += 1
+            if not args.daemon:
+                break
+            time.sleep(conf.parameters.scan_period_s)
+        return 0
+
+    if not args.pages:
+        print("--pages is required outside --scrape mode", file=sys.stderr)
+        return 2
+
+    from beamium_spark.plans.job import JobConf, RollupJob
+
+    job = RollupJob(spark, args.pages, args.state, JobConf())
+
+    def one_pass() -> dict:
+        report = job.run(max_chunks=args.max_chunks)
+        report["retention"] = job.apply_retention(now_iso)
+        print(json.dumps(report, default=str), flush=True)
+        return report
+
+    if not args.daemon:
+        # catch-up mode: drain all pending work, then exit
+        while one_pass()["chunks"] > 0:
+            pass
+        return 0
+
+    # daemon mode: tick on scan-period; hot-reload restarts from checkpoint
+    state = {"job": job, "ticks": 0}
+
+    def on_change(new_conf: EngineConf) -> None:
+        state["job"].record_reload()
+        state["job"] = RollupJob(spark, args.pages, args.state, JobConf())
+
+    import threading
+
+    if layers:
+        t = threading.Thread(
+            target=watch_and_rerun, args=(layers[-1], on_change), daemon=True
+        )
+        t.start()
+    while args.max_ticks is None or state["ticks"] < args.max_ticks:
+        state["job"] = state["job"] if state["job"] else job
+        report = state["job"].run(max_chunks=args.max_chunks)
+        report["retention"] = state["job"].apply_retention(now_iso)
+        print(json.dumps(report, default=str), flush=True)
+        state["ticks"] += 1
+        time.sleep(conf.parameters.scan_period_s)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

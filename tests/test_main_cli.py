@@ -1,0 +1,55 @@
+"""python -m beamium_spark — the process-shape parity surface.
+
+Runs the CLI in-process (main(argv)) against the tiny fixture: catch-up
+mode must drain all chunks and a rerun must be a no-op; scrape mode must
+route a GTS directory through conf-driven sinks."""
+
+import json
+import os
+
+from beamium_spark.__main__ import main
+from beamium_spark.sources.synth import ensure_web_pages
+
+
+def test_cli_catchup_then_noop(spark, tmp_path, capsys):
+    pages = ensure_web_pages(0.0003)
+    state = str(tmp_path / "state")
+    rc = main(["--pages", pages, "--state", state, "--now", "2025-01-01T00:00:00"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines[0]["chunks"] > 0 and lines[0]["forwarded"] > 0
+    assert lines[-1]["chunks"] == 0  # drained
+    assert os.path.isdir(os.path.join(state, "rollup_1d"))
+    # rerun: resume fence makes it a no-op
+    rc = main(["--pages", pages, "--state", state, "--now", "2025-01-01T00:00:00"])
+    assert rc == 0
+    lines2 = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines2[0]["chunks"] == 0
+
+
+def test_cli_scrape_mode(spark, tmp_path, capsys):
+    d = tmp_path / "gts"
+    d.mkdir()
+    (d / "a.metrics").write_text(
+        "1735689600000000// node_cpu{h=a} 1.0\n"
+        "1735689660000000// node_mem{h=a} 2.0\n"
+    )
+    cfg = tmp_path / "engine.json"
+    cfg.write_text(json.dumps({
+        "scrapers": {"nodes": {"format": "sensision"}},
+        "sinks": {"warp": {"table": "warp", "selector": "node_.*", "ttl": "48h"}},
+    }))
+    state = str(tmp_path / "state")
+    rc = main([
+        "--scrape", "--config", str(cfg), "--state", state,
+        "--source", f"nodes={d}", "--now", "2025-01-02T00:00:00",
+    ])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert out[0]["forwarded"]["warp"] == 2
+    assert os.path.isdir(os.path.join(state, "warp"))
+
+
+def test_cli_source_validation(spark, tmp_path, capsys):
+    rc = main(["--scrape", "--state", str(tmp_path / "s")])
+    assert rc == 2
