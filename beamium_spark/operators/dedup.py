@@ -523,3 +523,82 @@ def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             f"cluster_representatives did not converge in {max_iters} iterations"
         )
     return labels
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization for crawl dedup: lowercase scheme+host, strip
+    the fragment, default ports, and a trailing slash on a bare path.
+    Pure engine-neutral regex/string ops (the DuckDB oracle applies the
+    identical expressions), zero shuffle."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment never reaches a server
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(https://[^/?]*):443$", r"$1")
+    head = F.regexp_replace(head, r"^(http://[^/?]*):80$", r"$1")
+    out = F.concat(head, rest)
+    return F.regexp_replace(out, r"^([a-z][a-z0-9+.-]*://[^/?]*)/$", r"$1")
+
+
+def url_dedup(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """One row per canonical URL: earliest crawl wins (min ts, ties → min
+    raw url). The crawl-frontier dedup every Common-Crawl-style pipeline
+    runs before text dedup. One hash aggregate keyed on the canonical
+    string — shuffle rows bounded by distinct-URL cardinality after
+    map-side combine; no document bytes in the exchange."""
+    c = canonical_url(F.col(url_col))
+    return (
+        pages.select(c.alias("canonical_url"), F.col(url_col).alias("url"), F.col(ts_col).alias("ts"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_crawls"),
+            F.min(F.struct("ts", "url")).alias("__first"),
+        )
+        .select(
+            "canonical_url",
+            F.col("__first.url").alias("kept_url"),
+            F.col("__first.ts").alias("first_ts"),
+            "n_crawls",
+        )
+    )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus exact paragraph dedup (the MassiveText/Gopher
+    paragraph-level pass): split each doc on blank lines, count per doc how
+    many of its paragraphs also appear elsewhere in the corpus.
+
+    Returns (id, n_paragraphs, n_dup_paragraphs, dup_ratio). Shuffle
+    carries (paragraph-hash, id) pairs only — the paragraph TEXT stays in
+    its scan (xxhash64 is computed in the projection; a 128-bit double
+    hash variant mirrors exact_dedup's collision handling if needed at
+    10^12 scale — at paragraph counts ~10^13 use that form).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.trim(p)
+                ),
+                lambda p: p != "",
+            )
+        ).alias("para"),
+    ).select("id", F.xxhash64("para").alias("ph"))
+    freq = paras.groupBy("ph").agg(F.count("*").alias("n"))
+    return (
+        paras.join(freq, "ph")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_paragraphs"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 6),
+        )
+    )

@@ -121,3 +121,54 @@ def test_cluster_representatives_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         cluster_representatives(pairs, max_iters=2)
+
+
+def test_canonical_url_edges(spark):
+    from beamium_spark.operators.dedup import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM/Path#frag", "https://example.com/Path"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/a/", "https://example.com/a/"),  # only bare-path slash
+        ("https://example.com/x?q=1#f", "https://example.com/x?q=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_earliest_wins(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.dedup import url_dedup
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://a.example/x", t0),
+        ("HTTPS://A.example/x#f", t0 + dt.timedelta(hours=1)),
+        ("https://b.example/y", t0),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = {r["canonical_url"]: (r["kept_url"], r["n_crawls"]) for r in url_dedup(pages).collect()}
+    assert out["https://a.example/x"] == ("https://a.example/x", 2)
+    assert out["https://b.example/y"] == ("https://b.example/y", 1)
+
+
+def test_paragraph_dedup_stats(spark):
+    from beamium_spark.operators.dedup import paragraph_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ngamma delta"),
+            (2, "gamma delta\n \nunique two"),   # blank-ish separator
+            (3, "solo paragraph"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_paragraphs"], r["n_dup_paragraphs"]) for r in paragraph_dedup_stats(docs).collect()}
+    assert out[1] == (2, 1)  # "gamma delta" shared with doc 2
+    assert out[2] == (2, 1)
+    assert out[3] == (1, 0)
