@@ -82,3 +82,52 @@ def test_asof_extra_left_columns_pass_through(spark):
     out = asof_join(left2, right)
     assert "tag" in out.columns
     assert out.filter(F.col("tag").isNull()).count() == 0
+
+
+# ---- property: union/window asof == brute-force reference ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_pair = st.tuples(
+    st.integers(min_value=0, max_value=2),      # key
+    st.integers(min_value=0, max_value=3600),   # seconds offset
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(_pair, min_size=1, max_size=12),
+    rights=st.lists(_pair, min_size=0, max_size=12),
+)
+def test_asof_matches_bruteforce(spark, lefts, rights):
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(k, "m", ts(s), float(i)) for i, (k, s) in enumerate(lefts)],
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(k, "m", ts(s), i, float(i), 0.0, 0.0) for i, (k, s) in enumerate(rights)],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    ) if rights else spark.createDataFrame(
+        [],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+
+    got = {
+        (r["bucket"], r["value"]): r["asof_window_start"]
+        for r in asof_join(left, right).collect()
+    }
+
+    def brute(k, s):
+        cands = [rs for rk, rs in rights if rk == k and rs <= s]
+        return ts(max(cands)) if cands else None
+
+    want = {(k, float(i)): brute(k, s) for i, (k, s) in enumerate(lefts)}
+    assert got == want
