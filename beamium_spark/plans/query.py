@@ -1,0 +1,128 @@
+"""The read API: one call from (metric, time range, step) to a series.
+
+Beamium's consumers query the downstream TSDB (Warp10/Prometheus) that its
+forwarded points land in; a user switching to this engine queries the tier
+store directly. ``query()`` is that surface — the continuous-aggregate
+read path:
+
+1. **tier auto-selection**: the coarsest stored tier whose window divides
+   ``step`` serves the query (step 6h → 1h tier, step 1d → 1d tier) — a
+   10^12-doc corpus answers day-grain dashboards from the 1d tier's few
+   thousand rows, never the raw table;
+2. **partition pruning**: the time range lands on the store's
+   ``chunk_key=yyyy-MM-dd-HH`` layout as PartitionFilters (string-ordered
+   — verified in tests/test_plans_shape.py), so only the requested
+   chunks' files are listed/read;
+3. **re-aggregation**: decomposable (cnt, sum, min, max) tuples re-roll
+   from the tier window to ``step`` exactly — one hash aggregate over the
+   already-tiny tier slice;
+4. **shaping**: ``agg`` picks the emitted value (avg derived sum/cnt);
+   ``fill`` densifies the [start, end) grid (zero / ffill / linear) so
+   dashboards see a complete series.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TIER_SECONDS = (("rollup_1d", 86400), ("rollup_1h", 3600), ("rollup_1m", 60))
+
+_STEP_SECONDS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+
+
+def parse_step(step: str | int) -> int:
+    if isinstance(step, int):
+        return step
+    if step in _STEP_SECONDS:
+        return _STEP_SECONDS[step]
+    from beamium_spark.conf import parse_duration_ms
+
+    return parse_duration_ms(step, 1000) // 1000
+
+
+def select_tier(store, step_seconds: int) -> tuple[str, int]:
+    """Coarsest existing tier whose window divides the step (falls back
+    toward 1m; raises if no tier table exists)."""
+    for name, secs in _TIER_SECONDS:
+        if step_seconds % secs == 0 and store.exists(name):
+            return name, secs
+    raise ValueError("no stored tier divides the requested step")
+
+
+def query(
+    store,
+    metric: str,
+    start: dt.datetime | str,
+    end: dt.datetime | str,
+    step: str | int = "1 hour",
+    agg: str = "avg",
+    fill: str | None = None,
+    bucket: int | None = None,
+) -> DataFrame:
+    """(bucket, metric, window_start, value [, filled]) over [start, end).
+
+    ``metric`` is an anchored regex (beamium's selector semantics,
+    /root/reference/src/conf.rs:329-336); ``agg`` ∈ avg|sum|min|max|cnt;
+    ``fill`` ∈ None|zero|ffill|linear.
+    """
+    if isinstance(start, str):
+        start = dt.datetime.fromisoformat(start)
+    if isinstance(end, str):
+        end = dt.datetime.fromisoformat(end)
+    step_s = parse_step(step)
+    tier_name, _tier_s = select_tier(store, step_s)
+
+    t = store.read(tier_name)
+    if "chunk_key" in t.columns:
+        # chunk_key strings (yyyy-MM-dd-HH) order like their timestamps —
+        # the range predicate on the PARTITION column prunes file listing
+        lo = start.strftime("%Y-%m-%d-%H")
+        hi = end.strftime("%Y-%m-%d-%H")
+        t = t.filter((F.col("chunk_key") >= lo) & (F.col("chunk_key") <= hi))
+    t = t.filter(
+        (F.col("window_start") >= F.lit(start)) & (F.col("window_start") < F.lit(end))
+    ).filter(F.col("metric").rlike(f"^(?:{metric})$"))
+    if bucket is not None:
+        t = t.filter(F.col("bucket") == bucket)
+
+    w = F.window("window_start", f"{step_s} seconds")
+    re_rolled = (
+        t.groupBy("bucket", "metric", w.alias("w"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "bucket", "metric", F.col("w.start").alias("window_start"),
+            "cnt", "sum_value", "min_value", "max_value",
+        )
+    )
+    if fill is not None:
+        from beamium_spark.operators.gapfill import gapfill
+
+        step_interval = {60: "1 minute", 3600: "1 hour", 86400: "1 day"}.get(step_s)
+        if step_interval is None:
+            raise ValueError("fill requires a 1m/1h/1d step")
+        re_rolled = gapfill(
+            re_rolled,
+            step_interval,
+            strategy=fill,
+            bounds=(start, end - dt.timedelta(seconds=step_s)),
+        )
+
+    value = {
+        "avg": F.col("sum_value") / F.col("cnt"),
+        "sum": F.col("sum_value"),
+        "min": F.col("min_value"),
+        "max": F.col("max_value"),
+        "cnt": F.col("cnt").cast("double"),
+    }[agg]
+    cols = ["bucket", "metric", "window_start", value.alias("value")]
+    if fill is not None:
+        cols.append("filled")
+    return re_rolled.select(*cols)

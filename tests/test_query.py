@@ -1,0 +1,106 @@
+"""query() read path: tier auto-selection, re-aggregation, fill, and
+chunk-partition pruning."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from beamium_spark.plans.query import parse_step, query, select_tier
+from beamium_spark.sources.tables import ParquetTierStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = ParquetTierStore(spark, str(tmp_path / "store"))
+    t0 = dt.datetime(2025, 1, 1)
+    rows_1m = [
+        (0, "doc_count", t0 + dt.timedelta(minutes=m), 2, 4.0, 1.0, 3.0)
+        for m in range(0, 180, 2)  # every other minute over 3 hours
+    ]
+    t1m = spark.createDataFrame(
+        rows_1m,
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    ).withColumn("chunk_start", F.date_trunc("hour", "window_start"))
+    s.write_chunks(t1m, "rollup_1m")
+    t1h = (
+        t1m.groupBy("bucket", "metric", F.window("window_start", "1 hour").alias("w"))
+        .agg(
+            F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"), F.max("max_value").alias("max_value"),
+        )
+        .select("bucket", "metric", F.col("w.start").alias("window_start"),
+                "cnt", "sum_value", "min_value", "max_value")
+        .withColumn("chunk_start", F.col("window_start"))
+    )
+    s.write_chunks(t1h, "rollup_1h")
+    return s
+
+
+def test_parse_step():
+    assert parse_step("1 hour") == 3600
+    assert parse_step("30m") == 1800
+    assert parse_step(90) == 90
+
+
+def test_select_tier_prefers_coarsest(store):
+    assert select_tier(store, 86400) == ("rollup_1h", 3600)  # no 1d stored
+    assert select_tier(store, 3600) == ("rollup_1h", 3600)
+    assert select_tier(store, 60) == ("rollup_1m", 60)
+    assert select_tier(store, 120) == ("rollup_1m", 60)
+
+
+def test_query_hour_avg_from_1h_tier(store):
+    out = {
+        r["window_start"].hour: r["value"]
+        for r in query(
+            store, "doc_count", "2025-01-01T00:00:00", "2025-01-01T03:00:00",
+            step="1 hour", agg="avg",
+        ).collect()
+    }
+    # 30 windows/hour x cnt 2 x sum 4.0 -> avg = 120/60 = 2.0
+    assert out == {0: 2.0, 1: 2.0, 2: 2.0}
+
+
+def test_query_sum_2h_step_re_rolls(store):
+    out = {
+        r["window_start"].hour: r["value"]
+        for r in query(
+            store, "doc_count", "2025-01-01T00:00:00", "2025-01-01T04:00:00",
+            step=7200, agg="sum",
+        ).collect()
+    }
+    assert out == {0: 240.0, 2: 120.0}  # hours 0+1 merged; hour 2 alone
+
+
+def test_query_fill_zero_densifies(store):
+    out = query(
+        store, "doc_count", "2025-01-01T00:00:00", "2025-01-01T01:00:00",
+        step="1 minute", agg="sum", fill="zero",
+    )
+    rows = out.collect()
+    assert len(rows) == 60  # full grid
+    filled = [r for r in rows if r["filled"]]
+    assert len(filled) == 30 and all(r["value"] == 0.0 for r in filled)
+
+
+def test_query_metric_regex_is_anchored(store):
+    assert (
+        query(
+            store, "doc", "2025-01-01T00:00:00", "2025-01-01T03:00:00",
+        ).count()
+        == 0
+    )  # 'doc' must not prefix-match doc_count
+
+
+def test_query_prunes_chunk_partitions(store):
+    df = query(
+        store, "doc_count", "2025-01-01T01:00:00", "2025-01-01T02:00:00",
+        step="1 minute",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chunk_key" in plan
+    # and the result only covers the requested hour
+    hours = {r["window_start"].hour for r in df.collect()}
+    assert hours == {1}
