@@ -4,7 +4,10 @@ One ``run()`` is a micro-batch pass (beamium's scrape tick,
 /root/reference/src/scraper.rs:90-135):
 
 1. discover work: distinct hour-chunks in the source minus committed
-   manifest chunks (anti-join resumability, src/router.rs:56-77);
+   manifest chunks (anti-join resumability, src/router.rs:56-77), PLUS
+   committed chunks whose source row count drifted from the fence-time
+   baseline — late-arriving data replays its chunk exactly like beamium
+   re-forwards any new file in a scanned directory;
 2. per pending chunk set: extract points → 1m rollup → idempotent
    partition overwrite → Gorilla blocks → manifest commit with backoff;
 3. cascade: recompute 1h windows of the touched hours and 1d windows of
@@ -90,12 +93,55 @@ class RollupJob:
             .distinct()
         )
 
-    def pending_chunks(self) -> list:
-        rows = (
-            self.manifest.pending_chunks(self.source_chunks(), "rollup_1m")
-            .orderBy("chunk_start")
-            .collect()
+    def source_chunk_counts(self) -> DataFrame:
+        """(chunk_start, n_pages) over the source — the late-data detector's
+        ground truth. Reads the warc_ts column only (column-pruned scan);
+        the aggregate is the same O(chunks)-row frame discovery already
+        produces."""
+        pages = self.spark.read.parquet(self.pages_path)
+        return (
+            pages.filter(F.col("warc_ts").isNotNull())
+            .groupBy(F.date_trunc("hour", "warc_ts").alias("chunk_start"))
+            .agg(F.count("*").alias("n_pages"))
         )
+
+    def dirty_chunks(self, src_counts: DataFrame) -> DataFrame:
+        """Committed chunks whose source row count no longer matches the
+        count recorded at their commit fence — i.e. chunks that received
+        LATE data after being forwarded. Beamium re-forwards any new file
+        in a scanned directory (src/router.rs:56-77); the engine's work
+        unit is the chunk, so the analogue is replaying a chunk whose
+        contents changed. A chunk committed without a recorded count
+        (pre-feature store, or a crash between the fence and the count
+        write) is treated as dirty once — the replay is an idempotent
+        overwrite, so it self-heals."""
+        committed = self.manifest.committed_chunks("rollup_1m")
+        if not self.store.exists("chunk_counts"):
+            return committed.join(src_counts, "chunk_start", "left_semi").select(
+                "chunk_start"
+            )
+        recorded = self.store.read("chunk_counts").select(
+            "chunk_start", F.col("n_pages").alias("__rec")
+        )
+        return (
+            committed.join(src_counts, "chunk_start")
+            .join(recorded, "chunk_start", "left")
+            .filter(F.col("__rec").isNull() | (F.col("__rec") != F.col("n_pages")))
+            .select("chunk_start")
+        )
+
+    def pending_chunks(self) -> list:
+        """New chunks (never committed) ∪ dirty chunks (late data arrived
+        after commit) — both replayed through the same idempotent path."""
+        src_counts = self.source_chunk_counts().cache()
+        try:
+            new = self.manifest.pending_chunks(
+                src_counts.select("chunk_start"), "rollup_1m"
+            )
+            pending = new.unionByName(self.dirty_chunks(src_counts)).distinct()
+            rows = pending.orderBy("chunk_start").collect()
+        finally:
+            src_counts.unpersist()
         return [r["chunk_start"] for r in rows]
 
     # ---- one micro-batch pass -------------------------------------------
@@ -225,6 +271,17 @@ class RollupJob:
         # precede the fence).
         self.manifest.commit(run_id, pending, "rollup_1h", forwarded=fwd_1h)
         self.manifest.commit(run_id, touched_days, "rollup_1d", forwarded=fwd_1d)
+        # late-data baseline: the per-chunk source row counts as of this
+        # commit (dirty_chunks replays a chunk when the live count drifts).
+        # Written after the fence — a crash in between leaves the chunk
+        # count-less and therefore dirty-once, which replays idempotently.
+        counts_df = (
+            pages.groupBy(F.date_trunc("hour", "warc_ts").alias("chunk_start"))
+            .agg(F.count("*").alias("n_pages"))
+        )
+        commit_with_retry(
+            lambda: self.store.write_chunks(counts_df, "chunk_counts", "chunk_start")
+        )
         self.manifest.record_event(run_id, "run_complete", f"chunks={len(pending)}")
 
         points.unpersist()

@@ -140,3 +140,44 @@ def test_observability_counters_and_gauges(spark, pages_path, tmp_path):
     rw = wl.run()
     assert rw["scraped"] == n_pages
     assert rw["filtered"] == 3 * n_pages  # byte_size, text_chars, lang_rate dropped
+
+
+def test_late_data_replays_dirty_chunk(spark, tmp_path):
+    """A chunk that receives rows AFTER its commit fence must be detected
+    (count drift vs the recorded baseline) and replayed idempotently —
+    tiers end up equal to a from-scratch recompute."""
+    import shutil
+
+    from beamium_spark.operators.extract import extract_points
+    from beamium_spark.operators.rollup import rollup_tier
+    from beamium_spark.plans.job import JobConf, RollupJob
+    from beamium_spark.sources.synth import ensure_web_pages
+
+    src = ensure_web_pages(0.0003)
+    pages_dir = str(tmp_path / "pages")
+    shutil.copytree(src, pages_dir)
+
+    job = RollupJob(spark, pages_dir, str(tmp_path / "state"), JobConf(write_blocks=False))
+    r1 = job.run()
+    assert r1["chunks"] > 0
+    assert job.run()["chunks"] == 0  # clean rerun is a no-op
+
+    # late arrivals: clone a few rows of the FIRST committed hour back in
+    pages = spark.read.parquet(pages_dir)
+    first_hour = pages.select(F.date_trunc("hour", "warc_ts").alias("h")).agg(
+        F.min("h")
+    ).collect()[0][0]
+    late = pages.filter(F.date_trunc("hour", "warc_ts") == first_hour).limit(3)
+    late.coalesce(1).write.mode("append").parquet(pages_dir)
+
+    r3 = job.run()
+    assert r3["chunks"] == 1  # exactly the dirty chunk replays
+    assert job.run()["chunks"] == 0  # and the new baseline sticks
+
+    got = job.tier("rollup_1m")
+    want = rollup_tier(
+        extract_points(spark.read.parquet(pages_dir), bucket_mode="hash"), "1 minute"
+    )
+    cols = sorted(want.columns)
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
