@@ -139,7 +139,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         t.start()
     while args.max_ticks is None or state["ticks"] < args.max_ticks:
-        state["job"] = state["job"] if state["job"] else job
         report = state["job"].run(max_chunks=args.max_chunks)
         report["retention"] = state["job"].apply_retention(now_iso)
         print(json.dumps(report, default=str), flush=True)

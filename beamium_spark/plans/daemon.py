@@ -100,9 +100,12 @@ class ScrapeDaemon:
     # ---- discovery (R2): chunks not yet committed for every sink ----------
 
     def pending_chunks(self, points: DataFrame) -> list:
-        src_chunks = points.select(
-            F.date_trunc("hour", "ts").alias("chunk_start")
-        ).distinct()
+        src_counts = (
+            points.groupBy(F.date_trunc("hour", "ts").alias("chunk_start"))
+            .agg(F.count("*").alias("n_points"))
+            .cache()
+        )
+        src_chunks = src_counts.select("chunk_start")
         # a chunk is pending unless committed for ALL sinks (beamium only
         # deletes the source file after every sink write, src/router.rs:86-104)
         committed_all = None
@@ -114,8 +117,39 @@ class ScrapeDaemon:
         if committed_all is None:
             out = src_chunks
         else:
-            out = src_chunks.join(committed_all, "chunk_start", "left_anti")
-        return sorted(r["chunk_start"] for r in out.collect())
+            new = src_chunks.join(committed_all, "chunk_start", "left_anti")
+            # late lines in an already-routed hour: replay the chunk when
+            # its point count drifts from the fence-time baseline (same
+            # dirty-chunk semantics as RollupJob.dirty_chunks — beamium
+            # re-forwards any new file regardless of its timestamps)
+            if self.store.exists("chunk_counts"):
+                rec = self.store.read("chunk_counts").select(
+                    "chunk_start", F.col("n_points").alias("__rec")
+                )
+                dirty = (
+                    committed_all.join(src_counts, "chunk_start")
+                    .join(rec, "chunk_start", "left")
+                    .filter(
+                        F.col("__rec").isNull() | (F.col("__rec") != F.col("n_points"))
+                    )
+                    .select("chunk_start")
+                )
+            else:
+                dirty = committed_all.join(
+                    src_counts, "chunk_start", "left_semi"
+                ).select("chunk_start")
+            out = new.unionByName(dirty).distinct()
+        result = sorted(r["chunk_start"] for r in out.collect())
+        src_counts.unpersist()
+        return result
+
+    def _record_chunk_counts(self, points: DataFrame, pending: list) -> None:
+        counts = (
+            points.filter(F.date_trunc("hour", "ts").isin(pending))
+            .groupBy(F.date_trunc("hour", "ts").alias("chunk_start"))
+            .agg(F.count("*").alias("n_points"))
+        )
+        self.store.write_chunks(counts, "chunk_counts", "chunk_start")
 
     # ---- one tick ----------------------------------------------------------
 
@@ -133,6 +167,9 @@ class ScrapeDaemon:
             batch, self.conf, self.store, self.manifest, run_id, pending
         )
         report["forwarded"] = counts
+        # late-data baseline after every sink committed (crash before this
+        # leaves the chunk count-less → dirty-once → idempotent replay)
+        self._record_chunk_counts(points, pending)
         self.manifest.record_event(run_id, "run_complete")
         return report
 

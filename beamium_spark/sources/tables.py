@@ -140,6 +140,73 @@ class ParquetTierStore:
                     os.remove(fp)
         return n
 
+    def compact_chunks(self, table: str, chunks: list[str] | None = None) -> dict:
+        """Rewrite chunk partitions into deterministically-sized files —
+        the small-file compaction a long-lived chunked store needs: every
+        incremental pass / dirty-chunk replay / streaming epoch leaves at
+        least one file per write, and file count (not bytes) is what blows
+        up scan planning and listing at 10^5+ chunks.
+
+        ``chunks`` limits the pass to specific ``chunk_key`` values (e.g.
+        only chunks whose file count exceeds a threshold — the incremental
+        form); default compacts the whole table. Rewrites go through the
+        same dynamic partition overwrite as data writes, so a killed
+        compaction leaves either the old or the new file set, never a
+        mix. Returns {files_before, files_after, chunks}. (Iceberg:
+        ``rewrite_data_files`` is the engine-side equivalent.)"""
+        root = self.path(table)
+        if not self.exists(table):
+            return {"files_before": 0, "files_after": 0, "chunks": 0}
+
+        def _count_files(keys):
+            n = 0
+            for d in os.listdir(root):
+                if d.startswith("chunk_key=") and (
+                    keys is None or d.split("=", 1)[1] in keys
+                ):
+                    n += sum(
+                        1 for f in os.listdir(os.path.join(root, d))
+                        if f.endswith(".parquet")
+                    )
+            return n
+
+        keys = set(chunks) if chunks is not None else None
+        before = _count_files(keys)
+        df = self.read(table)
+        if keys is not None:
+            df = df.filter(F.col("chunk_key").isin(list(keys)))
+        # hash-colocate each chunk's rows, then one overwrite per partition;
+        # maxRecordsPerFile re-splits oversized chunks deterministically.
+        # Materialize BEFORE writing — the rewrite targets the directory
+        # the plan reads from (same contract as delete_where).
+        df = df.repartition("chunk_key").cache()
+        df.count()
+        try:
+            df.write.mode("overwrite").option(
+                "maxRecordsPerFile", self.max_records_per_file
+            ).partitionBy("chunk_key").parquet(root)
+        finally:
+            df.unpersist()
+        after = _count_files(keys)
+        n_chunks = len(keys) if keys is not None else sum(
+            1 for d in os.listdir(root) if d.startswith("chunk_key=")
+        )
+        return {"files_before": before, "files_after": after, "chunks": n_chunks}
+
+    def chunk_file_counts(self, table: str) -> dict[str, int]:
+        """chunk_key → parquet file count (the compaction trigger metric)."""
+        root = self.path(table)
+        out: dict[str, int] = {}
+        if not os.path.isdir(root):
+            return out
+        for d in os.listdir(root):
+            if d.startswith("chunk_key="):
+                out[d.split("=", 1)[1]] = sum(
+                    1 for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
     def drop(self, table: str) -> None:
         p = self.path(table)
         if os.path.isdir(p):

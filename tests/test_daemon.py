@@ -81,3 +81,20 @@ def test_daemon_routes_by_selector_and_resumes(spark, daemon):
     daemon.record_reload()
     events = {r["event"] for r in daemon.manifest.run_events().collect()}
     assert "reload" in events and "run_complete" in events
+
+
+def test_daemon_late_lines_replay_dirty_chunk(spark, daemon, tmp_path):
+    r1 = daemon.run_once()
+    assert r1["chunks"] == 2
+    assert daemon.run_once()["chunks"] == 0  # clean rerun no-op
+    # a late line lands in the ALREADY-ROUTED first hour
+    gts_dir = tmp_path / "gts"
+    (gts_dir / "node-late.metrics").write_text(
+        "1735689600000000// mem_used{host=b} 50\n"
+    )
+    r3 = daemon.run_once()
+    assert r3["chunks"] == 1  # only the dirty hour replays
+    assert daemon.run_once()["chunks"] == 0  # new baseline sticks
+    # the sink now holds the late point too
+    got = daemon.store.read("all_metrics")
+    assert got.filter(F.col("metric") == "mem_used").count() == 3

@@ -100,3 +100,57 @@ def test_size_cap_blocks_uses_block_accounting(spark, tmp_path):
     # cap of 1 byte: even the newest chunk exceeds it -> everything evicted
     assert out["blocks"]["evicted_chunks"] == chunks_before
     assert not j.store.exists("blocks")
+
+
+def test_compact_chunks_merges_small_files(spark, tmp_path):
+    import datetime as dt
+
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    store = ParquetTierStore(spark, str(tmp_path / "s"))
+    t0 = dt.datetime(2025, 1, 1)
+    # five incremental appends into the same two chunks -> many small files
+    for i in range(5):
+        df = spark.createDataFrame(
+            [
+                (0, "m", t0, t0, float(i)),
+                (0, "m", t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=1), float(i)),
+            ],
+            "bucket int, metric string, window_start timestamp, "
+            "chunk_start timestamp, value double",
+        ).withColumn("chunk_key", F.date_format("chunk_start", "yyyy-MM-dd-HH"))
+        df.write.mode("append").partitionBy("chunk_key").parquet(store.path("t"))
+    before = store.chunk_file_counts("t")
+    assert all(n >= 5 for n in before.values())
+    data_before = sorted(tuple(r) for r in store.read("t").drop("chunk_key").collect())
+
+    out = store.compact_chunks("t")
+    assert out["chunks"] == 2
+    assert out["files_after"] < out["files_before"]
+    after = store.chunk_file_counts("t")
+    assert all(n == 1 for n in after.values())
+    data_after = sorted(tuple(r) for r in store.read("t").drop("chunk_key").collect())
+    assert data_after == data_before
+
+
+def test_compact_chunks_subset_only_touches_named(spark, tmp_path):
+    import datetime as dt
+
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    store = ParquetTierStore(spark, str(tmp_path / "s"))
+    t0 = dt.datetime(2025, 1, 1)
+    for i in range(3):
+        df = spark.createDataFrame(
+            [
+                (0, "m", t0, t0, float(i)),
+                (0, "m", t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=1), float(i)),
+            ],
+            "bucket int, metric string, window_start timestamp, "
+            "chunk_start timestamp, value double",
+        ).withColumn("chunk_key", F.date_format("chunk_start", "yyyy-MM-dd-HH"))
+        df.write.mode("append").partitionBy("chunk_key").parquet(store.path("t"))
+    store.compact_chunks("t", chunks=["2025-01-01-00"])
+    counts = store.chunk_file_counts("t")
+    assert counts["2025-01-01-00"] == 1
+    assert counts["2025-01-01-01"] == 3  # untouched
