@@ -61,25 +61,32 @@ def run_executors(shards: list[list[str]], tag: str) -> tuple[float, list[str]]:
     return max(computes), outs
 
 
-def merge_time(partial_dirs: list[str]) -> float:
+def merge_time(partial_dirs: list[str], reps: int = 3) -> float:
+    """Median of ``reps`` merge passes — a single-sample merge was the
+    noisiest number in the level total (measured 1.2 s vs 4.8 s for the
+    same merge across identical runs)."""
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
     from beamium_spark.session import get_spark
 
     spark = get_spark(app_name="merge", master="local[8]", shuffle_partitions=8)
-    t0 = time.monotonic()
-    df = spark.read.parquet(*partial_dirs)
-    merged = df.groupBy("bucket", "metric", "window_start").agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("sum_value").alias("sum_value"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-    )
-    n = merged.count()
-    dt = time.monotonic() - t0
+    samples = []
+    n = 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        df = spark.read.parquet(*partial_dirs)
+        merged = df.groupBy("bucket", "metric", "window_start").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        n = merged.count()
+        samples.append(time.monotonic() - t0)
     spark.stop()
-    return dt, n
+    samples.sort()
+    return samples[len(samples) // 2], n
 
 
 def main() -> None:
@@ -94,12 +101,20 @@ def main() -> None:
 
     runs = int(os.environ.get("BEAMIUM_BENCH_RUNS", "3"))
 
+    # between runs the previous JVMs' heap/page reclaim (up to 40 GB of
+    # pre-touched memory) competes with the next runs' timed sections —
+    # measured +30% on the 4-worker compute level when levels run
+    # back-to-back vs in isolation. A settle pause restores the isolated
+    # numbers.
+    settle_s = float(os.environ.get("BEAMIUM_BENCH_SETTLE_S", "8"))
+
     def level(n_exec: int) -> float:
         shards = [files[i::n_exec] for i in range(n_exec)]
         samples = []
         for r in range(runs):
             compute, outs = run_executors(shards, f"{n_exec}x{r}")
             samples.append(compute)
+            time.sleep(settle_s)
         samples.sort()
         med_compute = samples[len(samples) // 2]
         m_dt, n_rows = merge_time(outs)
@@ -124,6 +139,7 @@ def main() -> None:
         for r in range(runs):
             compute, outs = run_executors(shards, f"pts{n_exec}x{r}")
             samples.append(compute)
+            time.sleep(settle_s)
         samples.sort()
         return samples[len(samples) // 2], outs
 
