@@ -74,7 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     layers = args.config or default_config_layers()
     conf = load_conf_layered(layers) if layers else EngineConf()
     spark = get_spark(app_name="beamium_spark", master=args.master)
-    now_iso = args.now or time.strftime("%Y-%m-%dT%H:%M:%S")
+
+    def now_iso() -> str:
+        # per-TICK wall clock (unless pinned by --now for tests): a daemon's
+        # TTL eviction cutoff must advance with time, like the reference's
+        # per-pass `now` (src/sink.rs:101-146) — computing it once at
+        # process start would freeze retention and grow sinks unboundedly
+        return args.now or time.strftime("%Y-%m-%dT%H:%M:%S")
 
     if args.scrape:
         from beamium_spark.plans.daemon import ScrapeDaemon, ScraperSource
@@ -96,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
         ticks = 0
         while args.max_ticks is None or ticks < args.max_ticks:
             report = daemon.run_once()
-            report["retention"] = daemon.apply_retention(now_iso)
+            report["retention"] = daemon.apply_retention(now_iso())
             print(json.dumps(report, default=str), flush=True)
             ticks += 1
             if not args.daemon:
@@ -114,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def one_pass() -> dict:
         report = job.run(max_chunks=args.max_chunks)
-        report["retention"] = job.apply_retention(now_iso)
+        report["retention"] = job.apply_retention(now_iso())
         print(json.dumps(report, default=str), flush=True)
         return report
 
@@ -140,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         t.start()
     while args.max_ticks is None or state["ticks"] < args.max_ticks:
         report = state["job"].run(max_chunks=args.max_chunks)
-        report["retention"] = state["job"].apply_retention(now_iso)
+        report["retention"] = state["job"].apply_retention(now_iso())
         print(json.dumps(report, default=str), flush=True)
         state["ticks"] += 1
         time.sleep(conf.parameters.scan_period_s)

@@ -35,6 +35,24 @@ def labels_to_str(labels: Column) -> Column:
     )
 
 
+def labels_sorted_str(labels: Column) -> Column:
+    """Canonical series-identity form: ``k=v`` pairs sorted by key, joined
+    with ','. Unlike :func:`labels_to_str` (entry order, for line
+    formatting), this is order-insensitive — two points whose label maps
+    differ only in entry order canonicalize to the same string, which is
+    what grouping by series identity (class + labels,
+    /root/reference/src/lib/mod.rs:88-98) requires."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(labels),
+                lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+            )
+        ),
+        ",",
+    )
+
+
 def add_labels(labels: Column, static: dict[str, str] | Column) -> Column:
     """Prepend static labels; existing keys win on conflict (LAST_WIN +
     new-first ordering ⇒ old value retained, mirroring the reference which

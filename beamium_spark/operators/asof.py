@@ -17,9 +17,23 @@ Spark-first implementation — the union/window form, NOT a range join:
 Scale shape: ONE exchange of (key, ts, narrow payload structs) — the same
 partitioning both inputs' aggregations already use — and a partition-local
 sort; no per-row probe, no broadcast requirement, no O(n·m) range
-explosion. Skewed keys shard exactly like the rollup shuffle (salting
-composes if needed). DuckDB reproduces the semantics natively
-(``ASOF JOIN ... ON l.ts >= r.ts``), which is what pins it in CORRECTNESS.
+explosion.
+
+Skew: the default (``chunk=None``) windows over the bare key, so one hot
+(bucket, metric) series' full history sorts in ONE task — fine for
+tier-keyed inputs (a series' tier rows are bounded by time span / window),
+a straggler for raw hot-key event streams. Plain salting does NOT compose
+here: a salt splits the timeline and breaks the carry-forward across salt
+boundaries. The real fix is **range-chunked windowing** (``chunk='1
+hour'`` etc.): the timeline splits into chunks, the running window
+partitions by (key, chunk) — bounding every task by one chunk of one
+series — and a second, summary-sized pass carries the last right row of
+each earlier chunk across the boundary (per-(key, chunk) aggregate →
+running last over chunk order → joined back as each chunk's carry-in).
+Same answer, bit-for-bit, as the monolithic window — pinned by tests.
+
+DuckDB reproduces the semantics natively (``ASOF JOIN ... ON l.ts >=
+r.ts``), which is what pins correctness in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -36,6 +50,7 @@ def asof_join(
     right_ts: str = "window_start",
     value_cols: tuple[str, ...] = ("cnt", "sum_value", "min_value", "max_value"),
     tolerance_seconds: int | None = None,
+    chunk: str | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join.
 
@@ -43,6 +58,12 @@ def asof_join(
     row with ``right[right_ts] <= left[left_ts]`` per ``on`` key (NULLs
     when none precedes). ``tolerance_seconds`` drops matches older than
     the window (rows keep NULLs instead — the anti-staleness guard).
+
+    ``chunk`` (a Spark interval string, e.g. ``'1 hour'``) enables
+    range-chunked windowing for hot keys: per-task work is bounded by one
+    chunk of one series instead of a whole series. Identical results to
+    the default; costs one extra summary aggregate + join, so leave it
+    off for tier-keyed (already small per key) inputs.
     """
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
@@ -65,12 +86,54 @@ def asof_join(
         *lcols,
     )
     unioned = r.unionByName(l)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__t", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+
+    if chunk is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__t", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    else:
+        from beamium_spark.operators.rollup import window_seconds
+
+        step = window_seconds(chunk)
+        chunk_of = F.floor(F.unix_timestamp(F.col("__t")) / F.lit(step)).cast("long")
+        unioned = unioned.withColumn("__chunk", chunk_of)
+        # summary pass: latest right payload per (key, chunk) — one row per
+        # key×chunk, aggregated in parallel (max_by on right-side ts)
+        chunk_last = (
+            r.withColumn("__chunk", chunk_of)
+            .groupBy(*keys, "__chunk")
+            .agg(F.max_by("__p", "__t").alias("__cl"))
+        )
+        # carry-in for chunk c = latest right payload of any EARLIER chunk:
+        # running last over chunk order, per key, over the summary frame
+        # (rows per key = #chunks — bounded by time span, never row count)
+        all_chunks = unioned.select(*keys, "__chunk").distinct()
+        wc = (
+            Window.partitionBy(*keys)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_chunks.join(chunk_last, keys + ["__chunk"], "left")
+            .withColumn("__carry", F.last("__cl", ignorenulls=True).over(wc))
+            .select(*keys, "__chunk", "__carry")
+        )
+        # main pass: running last within (key, chunk) — the per-task bound —
+        # then fall back to the chunk's carry-in when nothing precedes
+        w = (
+            Window.partitionBy(*keys, "__chunk")
+            .orderBy("__t", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = (
+            unioned.withColumn("__in", F.last("__p", ignorenulls=True).over(w))
+            .join(carry, keys + ["__chunk"], "left")
+            .withColumn("__m", F.coalesce("__in", "__carry"))
+        )
+
     out = carried.filter(F.col("__side") == 1)
     match = F.col("__m")
     if tolerance_seconds is not None:

@@ -35,6 +35,16 @@ Scale notes (the whole point of LSH here):
 MinHash background: Broder, "On the resemblance and containment of
 documents" (1997); banding analysis per Leskovec/Rajaraman/Ullman, MMDS
 ch.3. SimHash: Charikar (2002), Manku et al. (WWW 2007).
+
+Cache lifecycle: ``minhash_lsh_pairs`` and ``simhash_pairs`` cache small
+intermediates (signatures; candidate pairs) that the returned LAZY frame
+references more than once — unpersisting inside the function would force
+recomputation (or eager materialization, breaking plan inspection). The
+cached blocks live until the caller releases them: one-shot batch jobs
+drop them with the session; a long-lived session that runs dedup
+repeatedly should call ``spark.catalog.clearCache()`` (or
+``df.unpersist()`` on the inputs it holds) between passes, or cached
+blocks accumulate in executor storage memory.
 """
 
 from __future__ import annotations

@@ -46,7 +46,9 @@ def gapfill(
     for each branch — harmless over a stored tier (tiny scan), a 2× raw
     scan if you inline the whole extract pipeline.
     """
-    step = _WINDOW_SECONDS[window]
+    from beamium_spark.operators.rollup import window_seconds
+
+    step = window_seconds(window)  # descriptive ValueError on bad input
     if bounds is None:
         series_bounds = tier.groupBy("bucket", "metric").agg(
             F.min("window_start").alias("__mn"), F.max("window_start").alias("__mx")
@@ -88,10 +90,14 @@ def gapfill(
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     elif strategy == "linear":
         # lerp sum_value between the last observed window before the gap
-        # and the first after it; both exist for every gap row because the
-        # grid spans [min, max] observed windows. Expression ordering is
-        # fixed (prev + slope * dt) so an engine-neutral oracle reproduces
-        # the float result after rounding.
+        # and the first after it. With default (per-series) bounds both
+        # bracketing observations exist for every gap row; with explicit
+        # ``bounds`` wider than the observed span (query(fill='linear')
+        # passes them), edge rows lack one side — those clamp to the
+        # nearest observed value (coalesce(lerp, prev, next)), the same
+        # edge rule most TSDBs use for interpolation outside the span.
+        # Expression ordering is fixed (prev + slope * dt) so an
+        # engine-neutral oracle reproduces the float result after rounding.
         wb = (
             Window.partitionBy("bucket", "metric")
             .orderBy("window_start")
@@ -114,7 +120,9 @@ def gapfill(
             joined.withColumn("filled", filled_flag)
             .withColumn(
                 "sum_value",
-                F.when(~filled_flag, F.col("sum_value")).otherwise(lerp),
+                F.when(~filled_flag, F.col("sum_value")).otherwise(
+                    F.coalesce(lerp, pv, nv)
+                ),
             )
             .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
         )

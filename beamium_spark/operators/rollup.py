@@ -161,17 +161,18 @@ def rollup_percentiles(
     NOT decomposable, so coarser tiers must recompute from points (or carry
     the sketch); this operator therefore takes raw points, never a tier."""
     w = F.window(F.col(ts_col), window)
+    # round, not int(): int truncates float artifacts (0.29*100 == 28.999…
+    # would mislabel the column 'p28')
+    names = [f"p{round(p * 100)}" for p in percentiles]
     if exact:
         aggs = [
-            F.percentile("value", F.lit(p)).alias(f"p{int(p * 100)}")
-            for p in percentiles
+            F.percentile("value", F.lit(p)).alias(name)
+            for p, name in zip(percentiles, names)
         ]
     else:
         aggs = [
-            F.approx_percentile("value", F.lit(p), F.lit(accuracy)).alias(
-                f"p{int(p * 100)}"
-            )
-            for p in percentiles
+            F.approx_percentile("value", F.lit(p), F.lit(accuracy)).alias(name)
+            for p, name in zip(percentiles, names)
         ]
     return (
         points.groupBy("bucket", "metric", w.alias("w"))
@@ -180,27 +181,45 @@ def rollup_percentiles(
             "bucket",
             "metric",
             F.col("w.start").alias("window_start"),
-            *[f"p{int(p * 100)}" for p in percentiles],
+            *names,
         )
     )
 
 
 def top_urls(
-    pages: DataFrame, window: str = "1 hour", k: int = 5
+    pages: DataFrame, window: str = "1 hour", k: int = 5, salt_factor: int = 64
 ) -> DataFrame:
     """Top-k URLs by page count per window (heavy hitters — beamium's
-    per-endpoint fetch counters generalized to the corpus). Two-phase:
-    count per (window, url) — one partial+final hash agg — then a per-window
-    row_number over the counted (already ~k·windows-sized vs raw) frame.
-    Ties break on url asc so results are deterministic and oracle-able.
-    At 10^12 docs the per-window url cardinality bounds the window
-    partition, not the raw row count."""
+    per-endpoint fetch counters generalized to the corpus). Three-phase:
+
+    1. count per (window, url) — one partial+final hash agg;
+    2. **local** top-k per (window, url-hash-salt) partition — a
+       row_number over ``salt_factor`` salt slices, so no task ever
+       ranks more than ~cardinality/salt_factor rows of one window;
+    3. global rank over the ≤ k·salt_factor survivors per window.
+
+    Phase 2 is what makes this survive 100 TB: an hour of a 10^12-doc
+    corpus holds 10^8-10^9 distinct URLs, and a single per-window
+    row_number (the naive plan) would sort all of them in ONE task. A
+    global top-k row is necessarily in its salt slice's top-k, so the
+    prune is lossless. Ties break on url asc so results are
+    deterministic and oracle-able."""
     counted = pages.groupBy(
         F.window("warc_ts", window).alias("w"), "url"
     ).agg(F.count("*").alias("n"))
+    # (w, url) rows are distinct post-agg: each lands in exactly one slice
+    salted = counted.withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_factor)).cast("int")
+    )
+    local_w = Window.partitionBy("w", "__salt").orderBy(F.desc("n"), F.asc("url"))
+    pruned = (
+        salted.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__salt")
+    )
     rank_w = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("url"))
     return (
-        counted.withColumn("rank", F.row_number().over(rank_w))
+        pruned.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
         .select(F.col("w.start").alias("window_start"), "url", "n", "rank")
     )
@@ -224,8 +243,11 @@ def tier_rate(
 
     One window over (bucket, metric) ordered by window_start — the same
     partitioning every tier already has; no extra exchange when reading a
-    stored tier sorted by the write layout."""
-    step = _WINDOW_SECONDS_RATE[window]
+    stored tier sorted by the write layout.
+
+    ``window`` accepts the named tiers or any ``'N <unit>'`` interval
+    string (parsed like plans.query.parse_step)."""
+    step = window_seconds(window)
     w = Window.partitionBy("bucket", "metric").orderBy("window_start")
     prev = F.lag(value_col).over(w)
     raw_delta = F.col(value_col) - prev
@@ -244,6 +266,27 @@ def tier_rate(
 
 
 _WINDOW_SECONDS_RATE = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+
+_INTERVAL_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                    "week": 604800}
+
+
+def window_seconds(window: str) -> int:
+    """Spark interval string (``'5 minutes'``, ``'1 hour'``) → seconds.
+    Raises a descriptive ValueError for anything unparseable — the
+    neighboring-API contract (never a bare KeyError)."""
+    if window in _WINDOW_SECONDS_RATE:
+        return _WINDOW_SECONDS_RATE[window]
+    import re
+
+    m = re.match(r"^\s*(\d+)\s+(second|minute|hour|day|week)s?\s*$", str(window))
+    if not m or int(m.group(1)) <= 0:
+        raise ValueError(
+            f"unsupported window {window!r}: expected a positive Spark "
+            f"interval like '5 minutes' (units: "
+            f"{sorted(_INTERVAL_UNIT_S)})"
+        )
+    return int(m.group(1)) * _INTERVAL_UNIT_S[m.group(2)]
 
 
 def url_cardinality(

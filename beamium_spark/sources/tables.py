@@ -65,6 +65,8 @@ class ParquetTierStore:
         clobbers sibling chunks."""
         out = df.withColumn("chunk_key", F.date_format(chunk_col, "yyyy-MM-dd-HH"))
         out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).option(
             "maxRecordsPerFile", self.max_records_per_file
         ).partitionBy("chunk_key").parquet(self.path(table))
 
@@ -74,8 +76,17 @@ class ParquetTierStore:
     def overwrite_partition(self, df: DataFrame, table: str, part_col: str) -> None:
         """Dynamic partition overwrite on an existing column — replaces
         exactly the ``part_col=...`` partitions present in ``df`` (the
-        epoch-fencing primitive for streaming sinks)."""
-        df.write.mode("overwrite").partitionBy(part_col).parquet(self.path(table))
+        epoch-fencing primitive for streaming sinks).
+
+        The dynamic mode is set on the writer itself, NOT inherited from
+        the session: a host application's SparkSession defaults to STATIC
+        overwrite, under which this write would silently truncate the
+        whole table to the current frame's rows (the round-3 gate's red
+        row). Writer-level options take precedence over the session conf,
+        so the store is safe to embed in any session."""
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(part_col).parquet(self.path(table))
 
     def drop_partitions_older_than(self, table: str, cutoff_date: str) -> int:
         """Partition-level TTL delete; returns partitions removed.
@@ -123,8 +134,11 @@ class ParquetTierStore:
         keep_keys = {r["chunk_key"] for r in kept.select("chunk_key").distinct().collect()}
         if keep_keys:
             # dynamic overwrite replaces exactly the partitions present in
-            # the written frame (partitionOverwriteMode=dynamic in session)
-            kept.write.mode("overwrite").partitionBy("chunk_key").parquet(self.path(table))
+            # the written frame; set on the writer so a host session's
+            # default STATIC mode can't truncate unrelated partitions
+            kept.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("chunk_key").parquet(self.path(table))
         affected.unpersist()
         for key in set(hit_keys) - keep_keys:
             p = os.path.join(self.path(table), f"chunk_key={key}")
@@ -183,6 +197,8 @@ class ParquetTierStore:
         df.count()
         try:
             df.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).option(
                 "maxRecordsPerFile", self.max_records_per_file
             ).partitionBy("chunk_key").parquet(root)
         finally:

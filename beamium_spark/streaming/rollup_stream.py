@@ -225,13 +225,20 @@ def gts_stream_counters(
 
 
 def streaming_gts_rollup_1m(points_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Watermarked 1m rollup over a GTS point stream, keyed by metric
-    (labels carried as a grouping-neutral projection is the caller's
-    concern; beamium forwards lines verbatim — the rollup here is the
-    engine's continuous-aggregate surface)."""
+    """Watermarked 1m rollup over a GTS point stream, keyed by **series
+    identity** — (metric, canonical sorted-labels string) — exactly like
+    the batch gts_pipeline. Series identity in the reference is class +
+    labels (/root/reference/src/lib/mod.rs:88-98); keying on metric alone
+    would merge two series distinguished only by labels. The canonical
+    string (key-sorted) makes identity order-insensitive and keeps the
+    streaming state key a flat string — the same shuffle/state key shape
+    the batch rollup uses."""
+    from beamium_spark.functions.labels import labels_sorted_str
+
     return (
-        points_stream.withWatermark("ts", watermark)
-        .groupBy("metric", F.window("ts", "1 minute").alias("w"))
+        points_stream.withColumn("labels_s", labels_sorted_str(F.col("labels")))
+        .withWatermark("ts", watermark)
+        .groupBy("metric", "labels_s", F.window("ts", "1 minute").alias("w"))
         .agg(
             F.count("value").alias("cnt"),
             F.sum("value").alias("sum_value"),
@@ -240,6 +247,7 @@ def streaming_gts_rollup_1m(points_stream: DataFrame, watermark: str = "10 minut
         )
         .select(
             "metric",
+            "labels_s",
             F.col("w.start").alias("window_start"),
             "cnt", "sum_value", "min_value", "max_value",
         )

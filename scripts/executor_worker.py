@@ -17,6 +17,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _barrier(out_dir: str) -> None:
+    """Startup/warm-up barrier: when BEAMIUM_BENCH_GO is set, signal
+    readiness (``<out>.ready``) and spin until the parent creates the go
+    file. Without it, concurrent workers overlap one worker's TIMED
+    section with another's JVM startup + AlwaysPreTouch + warm-up — the
+    measured source of the 0.43-0.88 efficiency spread: 4 heaps
+    pre-touching tens of GB saturate the memory bus exactly while the
+    fastest worker is already timing."""
+    go = os.environ.get("BEAMIUM_BENCH_GO")
+    if not go:
+        return
+    open(out_dir + ".ready", "w").close()
+    while not os.path.exists(go):
+        time.sleep(0.05)
+
+
 def main() -> None:
     out_dir = sys.argv[1]
     cores = int(os.environ.get("EXECUTOR_CORES", "8"))
@@ -32,6 +48,31 @@ def main() -> None:
         master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
+    if sys.argv[2] == "--alu":
+        # compute-CEILING control: a pure-ALU scalar aggregate over the
+        # same id range (xxhash64 + one-scalar reduce, near-zero agg
+        # state, no shuffle payload). Its N→4N process scaling is the
+        # best this host permits for concurrent JVM compute processes —
+        # the ceiling the cascade's compute efficiency is normalized
+        # against (mirror of the --scan I/O control).
+        lo, hi = int(sys.argv[3]), int(sys.argv[4])
+
+        def alu():
+            return (
+                spark.range(lo, hi, 1, cores * 8)
+                .select(F.xxhash64("id").alias("h"))
+                .agg(F.sum("h"))
+                .collect()
+            )
+
+        alu()  # warm-up: codegen JIT
+        _barrier(out_dir)
+        t0 = time.monotonic()
+        alu()
+        dt = time.monotonic() - t0
+        print(json.dumps({"out": out_dir, "compute_sec": round(dt, 3)}))
+        spark.stop()
+        return
     if sys.argv[2] == "--scan":
         # I/O-roofline control: read the shard's full bytes with a
         # near-zero-compute aggregate — measures the host's (page-cache)
@@ -49,6 +90,7 @@ def main() -> None:
             )
 
         scan_agg().collect()  # warm-up: page cache + codegen
+        _barrier(out_dir)
         t0 = time.monotonic()
         row = scan_agg().collect()[0]
         dt = time.monotonic() - t0
@@ -102,6 +144,7 @@ def main() -> None:
     # honest per-executor figure is the second (warm) run
     tier.write.mode("overwrite").parquet(out_dir)
 
+    _barrier(out_dir)
     t0 = time.monotonic()
     tier.write.mode("overwrite").parquet(out_dir)
     dt = time.monotonic() - t0

@@ -131,3 +131,80 @@ def test_asof_matches_bruteforce(spark, lefts, rights):
 
     want = {(k, float(i)): brute(k, s) for i, (k, s) in enumerate(lefts)}
     assert got == want
+
+
+# ---- range-chunked windowing (hot-key skew path) ---------------------------
+
+
+def test_asof_chunked_equals_monolithic(spark):
+    """chunk='1 minute' must be bit-identical to the default window form
+    on every deterministic scenario, including tolerance."""
+    left, right = _frames(spark)
+    for tol in (None, 60):
+        a = asof_join(left, right, tolerance_seconds=tol).orderBy("bucket", "ts")
+        b = asof_join(
+            left, right, tolerance_seconds=tol, chunk="1 minute"
+        ).orderBy("bucket", "ts")
+        assert a.collect() == b.collect()
+
+
+def test_asof_chunked_carry_crosses_empty_chunks(spark):
+    """A right row many chunks back must carry across chunks that contain
+    neither left nor right rows for that key."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(hours=5), 1.0)],
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(0, "m", t0, 7, 70.0, 1.0, 9.0)],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    row = asof_join(left, right, chunk="1 minute").collect()[0]
+    assert row["asof_cnt"] == 7 and row["asof_window_start"] == t0
+
+
+def test_asof_hot_key_is_sharded(spark):
+    """One series holding 90% of all rows: the chunked form must bound
+    per-task work by (key, chunk) — no single window partition ever holds
+    the hot series' whole history — while returning exactly the
+    monolithic answer."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    n_hot, n_cold = 1800, 200  # hot key = 90% of left rows
+    rows = [(0, "hot", t0 + dt.timedelta(seconds=2 * i), float(i)) for i in range(n_hot)]
+    rows += [(1, "cold", t0 + dt.timedelta(seconds=17 * i), float(i)) for i in range(n_cold)]
+    left = spark.createDataFrame(
+        rows, "bucket int, metric string, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [
+            (b, m, t0 + dt.timedelta(minutes=10 * j), j, float(j), 0.0, 0.0)
+            for b, m in [(0, "hot"), (1, "cold")]
+            for j in range(6)
+        ],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    chunk = "5 minutes"
+    a = asof_join(left, right, chunk=None).orderBy("bucket", "ts").collect()
+    b = asof_join(left, right, chunk=chunk).orderBy("bucket", "ts").collect()
+    assert a == b
+    # partition-size check: the largest (key, chunk) window group is a
+    # fraction of the hot series — the straggler bound the operator claims
+    step = 300
+    sizes = (
+        left.groupBy(
+            "bucket", "metric",
+            (F.floor(F.unix_timestamp("ts") / step)).alias("c"),
+        )
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes <= step // 2 + 1  # 2s cadence -> ≤151 rows per chunk-task
+    assert sizes < n_hot / 5  # far below the monolithic hot partition

@@ -91,3 +91,40 @@ def test_gapfill_linear_interpolates(spark):
     assert out[1] == (20.0, 0, True)
     assert out[2] == (30.0, 0, True)
     assert out[3] == (40.0, 1, False)
+
+
+def test_gapfill_linear_edges_clamp_with_explicit_bounds(spark):
+    """Explicit bounds wider than the observed span (query(fill='linear')
+    passes these): edge rows lack one bracketing observation and must
+    clamp to the nearest observed value, never yield NULL sum_value."""
+    import datetime as dt
+
+    from beamium_spark.operators.gapfill import gapfill
+
+    t0 = dt.datetime(2025, 1, 1, 0, 2)
+    rows = [
+        (0, "m", t0, 1, 10.0, 10.0, 10.0),
+        (0, "m", t0 + dt.timedelta(minutes=2), 1, 30.0, 30.0, 30.0),
+    ]
+    tier = spark.createDataFrame(
+        rows,
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    out = {
+        r["window_start"].minute: (r["sum_value"], r["filled"])
+        for r in gapfill(
+            tier, "1 minute", strategy="linear",
+            bounds=("2025-01-01 00:00:00", "2025-01-01 00:06:00"),
+        ).collect()
+    }
+    # before-first rows clamp to the first observed value
+    assert out[0] == (10.0, True)
+    assert out[1] == (10.0, True)
+    # interior lerp unchanged
+    assert out[2] == (10.0, False)
+    assert out[3] == (20.0, True)
+    assert out[4] == (30.0, False)
+    # after-last rows clamp to the last observed value
+    assert out[5] == (30.0, True)
+    assert out[6] == (30.0, True)

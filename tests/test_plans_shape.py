@@ -180,3 +180,42 @@ def test_lsh_band_exchanges_are_narrow(spark):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_top_urls_has_no_single_task_global_rank(spark, pages):
+    """top_urls must never rank a whole window's URL counts in one task:
+    the plan needs a LOCAL top-k window partitioned by (w, __salt) feeding
+    a __lr<=k filter BEFORE the global per-w rank — so the global window
+    only ever sees ≤ k·salt_factor rows per window. A single per-window
+    row_number over the counted frame is the 10^8-urls-in-one-task shape
+    this regression test forbids."""
+    import re
+
+    from beamium_spark.operators.rollup import top_urls
+
+    plan = _plan(top_urls(pages, "1 hour", k=5))
+    # two Window nodes: the salted local prune and the global rank
+    win_specs = re.findall(r"Window \[row_number\(\).*?\], \[([^\]]*)\]", plan)
+    assert len(win_specs) == 2, plan
+    salted = [s for s in win_specs if "__salt" in s]
+    unsalted = [s for s in win_specs if "__salt" not in s]
+    assert len(salted) == 1 and len(unsalted) == 1, win_specs
+    # tree order (printed top-down): global rank consumes the __lr filter,
+    # which consumes the salted window — i.e. the prune is UPSTREAM of
+    # the global rank, not the other way around
+    pos_global = plan.index(unsalted[0])
+    pos_filter = plan.index("__lr")
+    pos_salted = plan.index(salted[0])
+    assert pos_global < pos_filter < pos_salted, (
+        "global per-w rank is not fed by the salted local top-k prune"
+    )
+
+
+def test_top_urls_salting_is_lossless(spark, pages):
+    """The salt prune must not change results: salt_factor=1 (no prune
+    benefit) and the default produce identical rows."""
+    from beamium_spark.operators.rollup import top_urls
+
+    a = top_urls(pages, "1 hour", k=5, salt_factor=1)
+    b = top_urls(pages, "1 hour", k=5, salt_factor=64)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

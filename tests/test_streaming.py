@@ -87,9 +87,11 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
 
 def test_gts_stream_matches_batch(spark, tmp_path):
     """Streaming GTS text source drains to the same 1m rollup the batch
-    reader computes."""
-    from beamium_spark.operators.rollup import rollup_tier
-    from beamium_spark.sources.gts import read_gts
+    reader computes — including series identity: two series distinguished
+    ONLY by labels (same metric) must NOT merge, and label entry order
+    must not split a series (canonical key-sorted identity). Mirrors the
+    reference where identity is class + labels (src/lib/mod.rs:88-98)."""
+    from beamium_spark.functions.labels import labels_sorted_str
     from beamium_spark.streaming.rollup_stream import (
         epoch_fenced_sink,
         read_gts_stream,
@@ -99,14 +101,17 @@ def test_gts_stream_matches_batch(spark, tmp_path):
     d = tmp_path / "gts"
     d.mkdir()
     base = 1735689600000000
-    (d / "a.metrics").write_text(
-        "\n".join(
-            f"{base + i * 15_000_000}// cpu{{h=a}} {float(i)}" for i in range(40)
-        )
-        + "\n"
-    )
+    lines = []
+    for i in range(40):
+        ts = base + i * 15_000_000
+        lines.append(f"{ts}// cpu{{h=a,dc=eu}} {float(i)}")
+        # same metric, label-only-distinguished series — must stay separate;
+        # entry order flips between points — must still be ONE series
+        order = "{h=b,dc=eu}" if i % 2 else "{dc=eu,h=b}"
+        lines.append(f"{ts}// cpu{order} {float(100 + i)}")
+    (d / "a.metrics").write_text("\n".join(lines) + "\n")
     # sentinel far in the future pushes the watermark past every window
-    (d / "z.metrics").write_text(f"{base + 10**12}// cpu{{h=a}} 0\n")
+    (d / "z.metrics").write_text(f"{base + 10**12}// cpu{{h=a,dc=eu}} 0\n")
 
     store = ParquetTierStore(spark, str(tmp_path / "store"))
     agg = streaming_gts_rollup_1m(read_gts_stream(spark, str(d)), "1 minute")
@@ -122,10 +127,29 @@ def test_gts_stream_matches_batch(spark, tmp_path):
         q.stop()
 
     streamed = store.read("gts_1m").drop("chunk_start", "chunk_key", "epoch_id")
+    from beamium_spark.sources.gts import read_gts
+
     pts = read_gts(spark, str(d), metrics_only=True).filter(F.col("ts") < "2025-01-02")
-    expected = rollup_tier(
-        pts.selectExpr("cast(0 as int) bucket", "metric", "ts", "value"), "1 minute"
-    ).drop("bucket")
+    expected = (
+        pts.groupBy(
+            "metric",
+            labels_sorted_str(F.col("labels")).alias("labels_s"),
+            F.window("ts", "1 minute").alias("w"),
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "metric", "labels_s", F.col("w.start").alias("window_start"),
+            "cnt", "sum_value", "min_value", "max_value",
+        )
+    )
+    # both label-only-distinguished series present, order-canonicalized
+    keys = {r["labels_s"] for r in streamed.select("labels_s").distinct().collect()}
+    assert keys == {"dc=eu,h=a", "dc=eu,h=b"}
     cols = sorted(expected.columns)
     got = streamed.filter(F.col("window_start") < "2025-01-02").select(cols)
     assert got.exceptAll(expected.select(cols)).count() == 0
