@@ -265,6 +265,43 @@ def tier_rate(
     )
 
 
+def tier_moving_agg(
+    tier: DataFrame,
+    k: int = 5,
+    value_col: str = "sum_value",
+    stats: tuple[str, ...] = ("avg", "min", "max"),
+) -> DataFrame:
+    """Trailing k-window moving aggregates over a tier series — the
+    smoothing pass dashboards apply over a continuous aggregate (PromQL
+    ``avg_over_time`` on the tier instead of raw samples).
+
+    Emits ``mov_<stat>`` per requested stat over the last ``k`` rows of
+    each (bucket, metric) series ordered by window_start. Row-frame, not
+    range-frame: a gap-filled tier is dense, so rows ≡ time steps; run
+    :func:`beamium_spark.operators.gapfill.gapfill` first for sparse
+    series where the distinction matters.
+
+    Scale: same single per-series sort window as :func:`tier_rate` — a
+    series' tier rows are bounded by time span / window size, never by
+    raw data, which is what makes per-series frames safe at 10^12 docs.
+    """
+    allowed = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    bad = [s for s in stats if s not in allowed]
+    if bad:
+        raise ValueError(f"unsupported moving stats {bad}: pick from {sorted(allowed)}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy("bucket", "metric")
+        .orderBy("window_start")
+        .rowsBetween(-(k - 1), 0)
+    )
+    out = tier
+    for s in stats:
+        out = out.withColumn(f"mov_{s}", allowed[s](value_col).over(w))
+    return out
+
+
 _WINDOW_SECONDS_RATE = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
 
 _INTERVAL_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,

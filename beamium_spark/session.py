@@ -75,6 +75,11 @@ def get_spark(
         )
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
+    # vendored-jar seam (e.g. a local iceberg-spark-runtime jar where the
+    # package can't resolve): comma-separated jar paths
+    extra_jars = os.environ.get("BEAMIUM_SPARK_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -5,77 +5,68 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
 "sf", plus docs/sec and parallelism context}.
 
-Scaling evidence (north_rule N vs 4N): run ``python bench.py`` twice with
-``SPARK_GRAFT_CPUS=8`` and ``=32`` (fresh process each — one JVM per
-parallelism level); ``scripts/scaling_bench.py`` automates that and writes
-BENCH/BASELINE.md.
+Measurement discipline (BENCH_r03's 19.7s points_cascade was a 5× artifact
+of one bad shared-JVM/page-cache state tainting all three samples of one
+query — the isolated re-run measured 3.75s):
+
+- **each headline runs in a FRESH subprocess** (own JVM): one degraded JVM
+  state (fragmented heap, GC debt, page-cache pressure from a previous
+  16 GB scan) cannot taint later queries. Disable with
+  ``BEAMIUM_BENCH_SUBPROC=0`` for quick in-process iteration.
+- **min of N runs is the headline statistic** (median also reported):
+  every noise source on a shared microVM inflates wall time, never
+  deflates it, so the minimum estimates the true capability. The first
+  run doubles as warm-up (codegen + page cache) and is naturally excluded
+  by the min.
+
+Scaling evidence (north_rule N vs 4N): ``scripts/multi_executor_bench.py``
+(separate executor JVMs, warm-up barrier, ALU ceiling control) writes
+BENCH/SCALING_EXECUTORS.md; run it 3× consecutively for the
+reproducibility record (BENCH/scaling.json multi_executor_history).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+QUERY_NAMES = [
+    "points_cascade",
+    "tier_cascade",
+    "gapfill_zero_1m",
+    "block_encode",
+    "events_rollup_1m",
+    "dedup_minhash_lsh",
+    "embedding_near_dup_lsh",
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+def _build_queries(spark, sf_dir: str, cpus: int):
+    """name -> (callable, needs_pages). Shared context built lazily."""
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
     from beamium_spark.operators.blocks import encode_blocks
     from beamium_spark.operators.extract import extract_points
     from beamium_spark.operators.gapfill import gapfill
     from beamium_spark.operators.rollup import rollup_cascade, rollup_tier
-    from beamium_spark.session import get_spark
-    from pyspark.sql import functions as F
 
     sf = entrymod._sf_of(sf_dir)
-    spark = get_spark(
-        app_name="beamium_bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-    )
-
     pages_path = entrymod._fixture(sf)
     pages = spark.read.parquet(pages_path)
-    n_docs = pages.count()
-
-    timings: dict[str, float] = {}
-    runs = int(os.environ.get("BEAMIUM_BENCH_RUNS", "3"))
-
-    def timed(name, fn):
-        # median of N runs: the microVM shows multi-second jitter on large
-        # binary scans, medians keep the scaling comparison honest
-        samples = []
-        for _ in range(runs):
-            t0 = time.monotonic()
-            fn()
-            samples.append(time.monotonic() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-
-    # warm-up: JVM/codegen + page-cache priming, not timed
-    extract_points(pages, bucket_mode="site").filter(
-        F.col("metric") == "doc_count"
-    ).groupBy("bucket").count().count()
 
     def _points():
         return extract_points(pages, bucket_mode="site")
 
-    # headline 1: the full tier cascade (raw scan + 3 windowed aggs)
     def q_tier_cascade():
         t1m = rollup_tier(_points(), "1 minute")
-        t1d = rollup_cascade(rollup_cascade(t1m, "1 hour"), "1 day")
-        t1d.count()
+        rollup_cascade(rollup_cascade(t1m, "1 hour"), "1 day").count()
 
-    # headline 2: dense 1m tier (rollup + grid join). Only the doc_count
-    # family is built (scan prunes html/text), and the tier is cached —
-    # gapfill's bounds pass + join would otherwise recompute the whole
-    # upstream twice (production gap-fills the STORED tier, one tiny scan)
     def q_gapfill():
         t = rollup_tier(
             extract_points(pages, bucket_mode="site", metrics=("doc_count",)),
@@ -86,28 +77,19 @@ def main() -> None:
         finally:
             t.unpersist()
 
-    # headline 3: Gorilla block encode (Arrow/pandas UDF path)
     def q_block_encode():
         encode_blocks(
             _points().select("bucket", "metric", "ts", "value"), "1 hour"
         ).agg(F.sum("n_points")).collect()
 
-    # headline 4: events table rollup (driver-provided testdata)
     def q_events_rollup():
         entrymod._q_events_rollup_1m(spark, sf_dir).count()
 
-    # headline 5: pure-engine scaling workload — N synthetic points through
-    # the full tier cascade, no disk I/O: isolates the engine's parallel
-    # aggregation path from the sandbox's shared-bandwidth scan ceiling.
+    # pure-engine scaling workload — N synthetic points through the full
+    # tier cascade, no disk I/O. Time-contiguous layout (ts = id // pps):
+    # scrape data arrives batch-clustered, so each task aggregates the few
+    # windows its id-range covers (cache-resident partials).
     n_points = int(os.environ.get("BEAMIUM_BENCH_POINTS", "300000000"))
-
-    # time-contiguous layout (ts = id // pps): scrape data arrives
-    # batch-clustered — the job's work unit is an hour chunk and the
-    # fixture is written time-sorted — so each task aggregates the few
-    # windows its id-range covers (cache-resident partials). The fully
-    # scattered layout ((id*37) mod span, the round-1 form) forces every
-    # task to hold the whole ~1.1M-window hash table and benchmarks the
-    # host memory bus instead of the engine.
     pps = max(1, n_points // (3 * 86400))
 
     def q_points_cascade(i=[0]):
@@ -123,9 +105,6 @@ def main() -> None:
         )
         rollup_cascade(rollup_cascade(rollup_tier(pts, "1 minute"), "1 hour"), "1 day").count()
 
-    # training-data headlines: the scale-path dedup + similarity ops over
-    # the driver's documents/embeddings tables (repartitioned: the fixture
-    # is one file = one split; production tables arrive pre-split)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
         cpus, "doc_id"
     )
@@ -142,18 +121,106 @@ def main() -> None:
             entrymod._near_dup_vectors(spark, sf_dir), threshold=0.95, dim=64
         ).count()
 
-    # points_cascade first: it measures the pure-engine aggregation path
-    # and must not inherit a heap/page-cache polluted by the 16 GiB scans
-    timed("points_cascade", q_points_cascade)
-    timed("tier_cascade", q_tier_cascade)
-    timed("gapfill_zero_1m", q_gapfill)
-    timed("block_encode", q_block_encode)
-    timed("events_rollup_1m", q_events_rollup)
-    timed("dedup_minhash_lsh", q_dedup_minhash)
-    timed("embedding_near_dup_lsh", q_near_dup_lsh)
+    return {
+        "points_cascade": q_points_cascade,
+        "tier_cascade": q_tier_cascade,
+        "gapfill_zero_1m": q_gapfill,
+        "block_encode": q_block_encode,
+        "events_rollup_1m": q_events_rollup,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "embedding_near_dup_lsh": q_near_dup_lsh,
+    }, n_points
+
+
+def _run_one(name: str) -> None:
+    """Subprocess entry: run ONE query `runs` times in a fresh session,
+    print {"name", "samples", "n_points"}."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("BEAMIUM_BENCH_RUNS", "3"))
+
+    from beamium_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"beamium_bench_{name}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    queries, n_points = _build_queries(spark, sf_dir, cpus)
+    fn = queries[name]
+    samples = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        fn()
+        samples.append(round(time.monotonic() - t0, 3))
+    print(json.dumps({"name": name, "samples": samples, "n_points": n_points}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        _run_one(sys.argv[2])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subproc = os.environ.get("BEAMIUM_BENCH_SUBPROC", "1") != "0"
+
+    import __spark_entry__ as entrymod
+
+    sf = entrymod._sf_of(sf_dir)
+
+    # doc count without a JVM: parquet footer metadata via pyarrow
+    import pyarrow.dataset as ds
+
+    pages_path = entrymod._fixture(sf)
+    n_docs = sum(
+        f.count_rows() for f in ds.dataset(pages_path, format="parquet").get_fragments()
+    )
+
+    per_query: dict[str, dict] = {}
+    n_points = int(os.environ.get("BEAMIUM_BENCH_POINTS", "300000000"))
+
+    if subproc:
+        for name in QUERY_NAMES:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                check=True,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            per_query[name] = rec
+            n_points = rec["n_points"]
+    else:
+        from beamium_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="beamium_bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+        queries, n_points = _build_queries(spark, sf_dir, cpus)
+        runs = int(os.environ.get("BEAMIUM_BENCH_RUNS", "3"))
+        for name in QUERY_NAMES:
+            samples = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                queries[name]()
+                samples.append(round(time.monotonic() - t0, 3))
+            per_query[name] = {"name": name, "samples": samples}
+        spark.stop()
+
+    timings = {}
+    medians = {}
+    for name, rec in per_query.items():
+        s = sorted(rec["samples"])
+        timings[name] = s[0]  # min: the capability statistic
+        medians[name] = s[len(s) // 2]
 
     total = round(sum(timings.values()), 3)
-    # docs/sec over the raw-data-touching headline (the cascade)
     docs_per_sec = round(n_docs / timings["tier_cascade"], 1)
     points_per_sec = round(n_points / timings["points_cascade"], 1)
 
@@ -164,6 +231,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "samples": {n: per_query[n]["samples"] for n in per_query},
+                "isolation": "subprocess-per-query" if subproc else "shared-session",
+                "stat": "min",
                 "sf": sf,
                 "docs": n_docs,
                 "docs_per_sec": docs_per_sec,
@@ -173,7 +244,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

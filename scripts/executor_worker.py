@@ -57,15 +57,17 @@ def main() -> None:
         # against (mirror of the --scan I/O control).
         lo, hi = int(sys.argv[3]), int(sys.argv[4])
 
-        def alu():
+        def alu(lo_=None, hi_=None):
+            # bit_xor reduce: overflow-free under ANSI mode, still one
+            # scalar of aggregation state per task
             return (
-                spark.range(lo, hi, 1, cores * 8)
+                spark.range(lo_ or lo, hi_ or hi, 1, cores * 8)
                 .select(F.xxhash64("id").alias("h"))
-                .agg(F.sum("h"))
+                .agg(F.bit_xor("h"))
                 .collect()
             )
 
-        alu()  # warm-up: codegen JIT
+        alu(lo, lo + min(hi - lo, 100_000_000))  # warm-up: codegen JIT only
         _barrier(out_dir)
         t0 = time.monotonic()
         alu()

@@ -150,6 +150,10 @@ def _spread(samples: list[float]) -> str:
 
 
 def main() -> None:
+    # the driver-side merge session's JVM outlives spark.stop() (py4j keeps
+    # the process) — cap ITS pinned heap too, or a 16g Xms+AlwaysPreTouch
+    # JVM idles alongside every later timed level
+    os.environ.setdefault("BEAMIUM_SPARK_DRIVER_MEM", "6g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/"))[2:])
     sys.path.insert(0, REPO)
@@ -185,26 +189,30 @@ def main() -> None:
     # compute-only form: same 1B-point cascade, sharded by id range
     total_pts = int(os.environ.get("BEAMIUM_BENCH_POINTS", "1000000000"))
 
-    def ranged_level(n_exec: int, flag: str):
-        step = total_pts // n_exec
+    def ranged(flag: str, total: int, n_exec: int):
+        step = total // n_exec
         shards = [
             [flag, str(i * step), str((i + 1) * step)] for i in range(n_exec)
         ]
         samples = []
-        outs = []
         for r in range(runs):
-            compute, outs = run_executors(shards, f"{flag.strip('-')}{n_exec}x{r}")
+            compute, _ = run_executors(shards, f"{flag.strip('-')}{n_exec}x{r}")
             samples.append(compute)
             time.sleep(settle_s)
-        return _stat(samples), samples, outs
+        return _stat(samples), samples
 
-    pc_n, psamp_n, _ = ranged_level(1, "--points")
-    pc_4n, psamp_4n, _ = ranged_level(4, "--points")
+    pc_n, psamp_n = ranged("--points", total_pts, 1)
+    pc_4n, psamp_4n = ranged("--points", total_pts, 4)
     pts_eff = round((pc_n / pc_4n) / 4.0, 3)
 
-    # ALU ceiling control: best process-scaling this host permits
-    alu_n, asamp_n, _ = ranged_level(1, "--alu")
-    alu_4n, asamp_4n, _ = ranged_level(4, "--alu")
+    # ALU ceiling control: best process-scaling this host permits. The ALU
+    # op streams ~50x more rows/sec than the cascade, so the range is
+    # scaled up to keep the N-level timed section ~20s — at 1B rows it
+    # finished in 0.4s and fixed scheduling overheads (~0.2s) drowned the
+    # signal, reading as a bogus 0.28 "ceiling".
+    alu_pts = int(os.environ.get("BEAMIUM_BENCH_ALU_POINTS", str(total_pts * 50)))
+    alu_n, asamp_n = ranged("--alu", alu_pts, 1)
+    alu_4n, asamp_4n = ranged("--alu", alu_pts, 4)
     alu_eff = round((alu_n / alu_4n) / 4.0, 3)
     pts_eff_norm = round(pts_eff / alu_eff, 3) if alu_eff else None
 

@@ -10,10 +10,10 @@ ceiling directly and normalizes the pipeline number against it:
    the host's I/O ceiling — no engine code in the loop beyond the parquet
    reader.
 2. **decomposition**: full-pipeline shard time = scan part + compute part.
-   The compute part scales at the separately measured compute-only
-   efficiency (0.88, SCALING_EXECUTORS.md); the scan part can scale no
-   better than the control. Predicted-at-ceiling 4N time =
-   scan_4N(control) + compute_N/(4·compute_eff).
+   The compute part scales at the separately MEASURED compute-only
+   efficiency (read from BENCH/scaling.json — never an assumed constant);
+   the scan part can scale no better than the control.
+   Predicted-at-ceiling 4N time = scan_4N(control) + compute_N/(4·compute_eff).
 3. **ceiling-normalized efficiency** = predicted / measured at 4N — how
    close the measured pipeline runs to the best this host permits. ≥0.9
    means the plan is host-bound, not engine-bound; a real 4N-node cluster
@@ -36,18 +36,45 @@ WORKER = os.path.join(REPO, "scripts", "executor_worker.py")
 
 
 def run_workers(shards: list[list[str]], tag: str) -> list[dict]:
+    import time
+
     procs = []
+    outs = []
     # 6g pinned+pre-touched per worker: enough for a 4 GB shard scan, and
-    # 4 concurrent workers stay well inside the box across repeated runs
-    env = dict(os.environ, EXECUTOR_CORES="8", BEAMIUM_SPARK_DRIVER_MEM="6g")
+    # 4 concurrent workers stay well inside the box across repeated runs.
+    # The warm-up barrier (BEAMIUM_BENCH_GO) keeps any worker's timed
+    # section from overlapping another's JVM startup / AlwaysPreTouch /
+    # warm-up — the same discipline as multi_executor_bench.
+    go_file = os.path.join(tempfile.gettempdir(), f"roofline_go_{tag}")
+    if os.path.exists(go_file):
+        os.remove(go_file)
+    env = dict(
+        os.environ,
+        EXECUTOR_CORES="8",
+        BEAMIUM_SPARK_DRIVER_MEM="6g",
+        BEAMIUM_BENCH_GO=go_file,
+    )
     for i, shard in enumerate(shards):
         out = os.path.join(tempfile.gettempdir(), f"roofline_{tag}_{i}")
+        outs.append(out)
+        if os.path.exists(out + ".ready"):
+            os.remove(out + ".ready")
         procs.append(
             subprocess.Popen(
                 [sys.executable, WORKER, out, *shard],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
+    deadline = time.monotonic() + 600
+    while any(not os.path.exists(o + ".ready") for o in outs):
+        if time.monotonic() > deadline:
+            for p in procs:
+                p.kill()
+            raise RuntimeError("worker warm-up barrier timed out")
+        if any(p.poll() is not None and p.returncode != 0 for p in procs):
+            raise RuntimeError("worker died before barrier")
+        time.sleep(0.1)
+    open(go_file, "w").close()
     results = []
     for p in procs:
         out_text, err_text = p.communicate()
@@ -56,6 +83,7 @@ def run_workers(shards: list[list[str]], tag: str) -> list[dict]:
                 f"worker failed rc={p.returncode}: ...{err_text[-800:]}"
             )
         results.append(json.loads([l for l in out_text.splitlines() if l.startswith("{")][-1]))
+    os.remove(go_file)
     return results
 
 
@@ -83,7 +111,25 @@ def main() -> None:
     fixture = ensure_web_pages(sf)
     files = sorted(glob.glob(os.path.join(fixture, "*.parquet")))
     runs = int(os.environ.get("BEAMIUM_BENCH_RUNS", "3"))
-    compute_eff = float(os.environ.get("BEAMIUM_COMPUTE_EFF", "0.881"))
+    # compute efficiency comes from the MEASURED multi-executor run
+    # (scaling.json), not an assumed constant — BEAMIUM_COMPUTE_EFF
+    # overrides for what-if decompositions
+    compute_eff = None
+    if os.environ.get("BEAMIUM_COMPUTE_EFF"):
+        compute_eff = float(os.environ["BEAMIUM_COMPUTE_EFF"])
+    else:
+        sj = os.path.join(REPO, "BENCH", "scaling.json")
+        if os.path.exists(sj):
+            compute_eff = (
+                json.load(open(sj))
+                .get("multi_executor", {})
+                .get("points_executor_scaling_efficiency")
+            )
+    if compute_eff is None:
+        raise SystemExit(
+            "no measured compute efficiency: run scripts/multi_executor_bench.py "
+            "first or set BEAMIUM_COMPUTE_EFF"
+        )
 
     def shard4(prefix):
         return [[*prefix, *files[i::4]] for i in range(4)]
@@ -126,7 +172,7 @@ def main() -> None:
         "full_sec_4N": round(full_4n, 2),
         "full_scaling_efficiency": full_eff,
         "compute_part_N_sec": round(comp_n, 2),
-        "compute_eff_assumed": compute_eff,
+        "compute_eff_measured": compute_eff,
         "predicted_4N_at_ceiling_sec": round(predicted_4n, 2),
         "ceiling_normalized_efficiency": ceiling_norm,
     }

@@ -26,12 +26,20 @@ def ice_spark(tmp_path_factory):
     from beamium_spark.session import get_spark
 
     wh = str(tmp_path_factory.mktemp("iceberg_wh"))
+    # BEAMIUM_ICEBERG_PKG accepts either maven coordinates (resolved via
+    # ivy — needs network) or a local path to a vendored
+    # iceberg-spark-runtime jar (no network needed)
+    jar_conf = (
+        {"spark.jars": ICEBERG_PKG}
+        if ICEBERG_PKG.endswith(".jar")
+        else {"spark.jars.packages": ICEBERG_PKG}
+    )
     spark = get_spark(
         app_name="iceberg-it",
         master="local[4]",
         shuffle_partitions=4,
         extra_conf={
-            "spark.jars.packages": ICEBERG_PKG,
+            **jar_conf,
             "spark.sql.catalog.it": "org.apache.iceberg.spark.SparkCatalog",
             "spark.sql.catalog.it.type": "hadoop",
             "spark.sql.catalog.it.warehouse": wh,

@@ -152,3 +152,60 @@ def test_tier_rate_counter_reset(spark):
     assert counter[1] == (50.0, 50.0 / 60)
     assert counter[2] == (10.0, 10.0 / 60)  # reset: new value IS the increase
     assert counter[3] == (30.0, 30.0 / 60)
+
+
+def test_tier_moving_agg(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import tier_moving_agg
+
+    t0 = dt.datetime(2025, 1, 1)
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), 1, float(v), float(v), float(v))
+         for i, v in enumerate([10, 20, 60, 0, 10])],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    out = {
+        r["window_start"].minute: (r["mov_avg"], r["mov_min"], r["mov_max"])
+        for r in tier_moving_agg(tier, k=3).collect()
+    }
+    assert out[0] == (10.0, 10.0, 10.0)
+    assert out[1] == (15.0, 10.0, 20.0)
+    assert out[2] == (30.0, 10.0, 60.0)
+    assert out[3] == (80.0 / 3, 0.0, 60.0)
+    assert out[4] == (70.0 / 3, 0.0, 60.0)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tier_moving_agg(tier, k=0)
+    with pytest.raises(ValueError):
+        tier_moving_agg(tier, stats=("median",))
+
+
+def test_window_seconds_and_tier_rate_validation(spark):
+    import pytest
+
+    from beamium_spark.operators.rollup import window_seconds
+
+    assert window_seconds("5 minutes") == 300
+    assert window_seconds("1 minute") == 60
+    assert window_seconds("2 hours") == 7200
+    with pytest.raises(ValueError, match="unsupported window"):
+        window_seconds("fortnight")
+    with pytest.raises(ValueError, match="unsupported window"):
+        window_seconds("0 minutes")
+
+
+def test_percentile_column_names_round_not_truncate(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import rollup_percentiles
+
+    pts = spark.createDataFrame(
+        [(0, "m", dt.datetime(2025, 1, 1), float(v)) for v in range(100)],
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    cols = rollup_percentiles(pts, percentiles=(0.29, 0.95)).columns
+    assert "p29" in cols and "p95" in cols and "p28" not in cols
