@@ -18,7 +18,11 @@ read path:
    already-tiny tier slice;
 4. **shaping**: ``agg`` picks the emitted value (avg derived sum/cnt);
    ``fill`` densifies the [start, end) grid (zero / ffill / linear) so
-   dashboards see a complete series.
+   dashboards see a complete series; ``smooth`` applies a trailing
+   k-step moving average (PromQL ``avg_over_time``) and ``rate``
+   replaces the value with a per-second derivative (PromQL
+   ``rate``/``delta``) — both post-aggregation per-series window passes
+   over the already-tiny re-rolled slice.
 """
 
 from __future__ import annotations
@@ -61,13 +65,25 @@ def query(
     agg: str = "avg",
     fill: str | None = None,
     bucket: int | None = None,
+    smooth: int | None = None,
+    rate: bool | str = False,
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
 
     ``metric`` is an anchored regex (beamium's selector semantics,
     /root/reference/src/conf.rs:329-336); ``agg`` ∈ avg|sum|min|max|cnt;
-    ``fill`` ∈ None|zero|ffill|linear.
+    ``fill`` ∈ None|zero|ffill|linear; ``smooth`` = trailing moving-avg
+    width in steps (applied to ``value`` after agg/fill); ``rate`` =
+    True for per-second delta of ``value``, ``'counter'`` for
+    counter-reset semantics (negative delta → the new value is the
+    increase). ``smooth`` and ``rate`` are mutually exclusive.
     """
+    if smooth is not None and rate:
+        raise ValueError("smooth and rate are mutually exclusive")
+    if smooth is not None and smooth < 1:
+        raise ValueError(f"smooth must be >= 1, got {smooth}")
+    if rate not in (False, True, "counter"):
+        raise ValueError(f"rate must be False, True or 'counter', got {rate!r}")
     if isinstance(start, str):
         start = dt.datetime.fromisoformat(start)
     if isinstance(end, str):
@@ -125,4 +141,25 @@ def query(
     cols = ["bucket", "metric", "window_start", value.alias("value")]
     if fill is not None:
         cols.append("filled")
-    return re_rolled.select(*cols)
+    out = re_rolled.select(*cols)
+    if smooth is not None or rate:
+        # per-series window over the re-rolled slice: rows per series are
+        # bounded by (end - start) / step — the tier_rate safety argument
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+        if smooth is not None:
+            out = out.withColumn(
+                "value",
+                F.avg("value").over(w.rowsBetween(-(smooth - 1), 0)),
+            )
+        else:
+            prev = F.lag("value").over(w)
+            raw_delta = F.col("value") - prev
+            delta = (
+                F.when(raw_delta < 0, F.col("value")).otherwise(raw_delta)
+                if rate == "counter"
+                else raw_delta
+            )
+            out = out.withColumn("value", delta / F.lit(float(step_s)))
+    return out

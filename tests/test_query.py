@@ -104,3 +104,40 @@ def test_query_prunes_chunk_partitions(store):
     # and the result only covers the requested hour
     hours = {r["window_start"].hour for r in df.collect()}
     assert hours == {1}
+
+
+def test_query_smooth_moving_avg(store):
+    """smooth=3: trailing 3-step moving average of the per-step value."""
+    base = query(store, "doc_count", "2025-01-01 00:00", "2025-01-01 03:00",
+                 step="1 hour", agg="sum")
+    vals = {r["window_start"]: r["value"] for r in base.collect()}
+    sm = query(store, "doc_count", "2025-01-01 00:00", "2025-01-01 03:00",
+               step="1 hour", agg="sum", smooth=3)
+    got = {r["window_start"]: r["value"] for r in sm.collect()}
+    ks = sorted(vals)
+    assert got[ks[0]] == vals[ks[0]]
+    assert got[ks[1]] == (vals[ks[0]] + vals[ks[1]]) / 2
+    assert got[ks[2]] == (vals[ks[0]] + vals[ks[1]] + vals[ks[2]]) / 3
+
+
+def test_query_rate(store):
+    """rate=True: per-second delta; first row of each series is NULL."""
+    out = sorted(
+        query(store, "doc_count", "2025-01-01 00:00", "2025-01-01 03:00",
+              step="1 hour", agg="sum", rate=True).collect(),
+        key=lambda r: r["window_start"],
+    )
+    assert out[0]["value"] is None
+    # constant hourly sums -> rate 0
+    assert all(r["value"] == 0.0 for r in out[1:])
+
+
+def test_query_smooth_rate_exclusive_and_validation(store):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        query(store, "doc_count", "2025-01-01", "2025-01-02", smooth=3, rate=True)
+    with _pytest.raises(ValueError, match="smooth must be"):
+        query(store, "doc_count", "2025-01-01", "2025-01-02", smooth=0)
+    with _pytest.raises(ValueError, match="rate must be"):
+        query(store, "doc_count", "2025-01-01", "2025-01-02", rate="bogus")

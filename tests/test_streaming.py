@@ -192,3 +192,55 @@ def test_gts_stream_counters(spark, tmp_path):
     assert row["skipped_continuation"] == 1
     assert row["skipped_comment_blank"] == 2
     assert row["skipped_invalid"] == 1
+
+
+def test_staleness_alerts(spark, tmp_path):
+    """Series 'cpu' stops at t+2m while 'mem' keeps flowing: once the
+    watermark (driven by mem) passes cpu.last_seen + threshold, exactly
+    one alert fires for cpu and none for mem. A series that never pauses
+    longer than the threshold stays silent."""
+    from beamium_spark.streaming.rollup_stream import read_gts_stream
+    from beamium_spark.streaming.stateful import staleness_alerts
+
+    d = tmp_path / "gts"
+    d.mkdir()
+    base = 1735689600000000
+    # cpu: points for the first 2 minutes only; mem: continuous for 30 min
+    lines = []
+    for i in range(8):
+        lines.append(f"{base + i * 15_000_000}// cpu{{h=a}} 1.0")
+    for i in range(120):
+        lines.append(f"{base + i * 15_000_000}// mem{{h=a}} 2.0")
+    (d / "a.metrics").write_text("\n".join(lines) + "\n")
+
+    alerts = staleness_alerts(
+        read_gts_stream(spark, str(d)), threshold_s=120, watermark="10 seconds"
+    )
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stale_alerts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second file advances the watermark far past everything: mem goes
+        # stale too now — proving re-detection — and cpu must NOT re-fire
+        (d / "b.metrics").write_text(f"{base + 3600 * 1_000_000}// tick{{h=a}} 0\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from stale_alerts").collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], []).append(r)
+    # cpu alerted exactly once, with its true last point (t + 105s)
+    assert len(by_metric["cpu"]) == 1
+    import datetime as dt
+
+    assert by_metric["cpu"][0]["last_seen"] == dt.datetime(2025, 1, 1, 0, 1, 45)
+    assert by_metric["cpu"][0]["threshold_s"] == 120
+    # mem alerted once the tick pushed the watermark past its horizon
+    assert len(by_metric["mem"]) == 1
+    assert by_metric["mem"][0]["last_seen"] == dt.datetime(2025, 1, 1, 0, 29, 45)
