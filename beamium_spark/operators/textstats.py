@@ -117,6 +117,90 @@ def fingerprint(text: Column, base: int = 131, mod: int = (1 << 31) - 1) -> Colu
     )
 
 
+def word_ngrams_all(text: Column, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept — frequency semantics,
+    unlike dedup's distinct-set form). Texts shorter than n words yield
+    an empty array."""
+    w = words(text)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_frequencies(docs, n: int = 2, k: int = 100, text_col: str = "text"):
+    """Corpus-wide word n-gram frequency table, top-``k`` by count. For
+    ``n=2`` this is exactly the adjacent-pair count a BPE trainer's first
+    merge iteration needs (most frequent symbol pair over the corpus);
+    higher n feeds phrase mining / contamination heuristics.
+
+    Same scale shape as :func:`token_frequencies`: explode → one
+    partial+final hash agg keyed on the gram → TakeOrderedAndProject
+    top-k; never a global window over the gram vocabulary."""
+    from pyspark.sql import Window
+
+    counted = (
+        docs.select(F.explode(word_ngrams_all(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+    )
+    topk = counted.orderBy(F.desc("n"), F.asc("gram")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("gram"))  # k rows only
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition signals (the Gopher/MassiveText repetition
+    filters, Rae et al. 2021 §A1.1): heavily repeated lines or n-grams
+    mark boilerplate/spam.
+
+    - ``n_lines``          — non-empty lines
+    - ``dup_line_frac``    — 1 − distinct/total over non-empty lines
+    - ``top_bigram_frac``  — occurrences of the most frequent word
+                             2-gram / total 2-grams (0 when < 2 words)
+
+    Scale shape: line stats are pure per-row expressions (no shuffle);
+    the bigram mode needs one (id, gram) hash agg then an (id) re-agg —
+    both narrow, both bounded by per-doc gram counts."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    line_stats = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("g"),
+    )
+    bigram_mode = (
+        grams.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        )
+    )
+    return line_stats.join(bigram_mode, "id", "left").select(
+        "id",
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
 def token_frequencies(docs, k: int = 100, text_col: str = "text"):
     """Corpus-wide token frequency table, top-``k`` by count (vocabulary
     building — the first pass of any tokenizer training run over the
