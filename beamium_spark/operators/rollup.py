@@ -265,6 +265,42 @@ def tier_rate(
     )
 
 
+def session_rollup(
+    points: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("bucket", "metric"),
+) -> DataFrame:
+    """Session-window aggregation: consecutive points of a series closer
+    than ``gap`` merge into one session row (session_start, session_end,
+    cnt, sum_value). The activity-burst view of a scrape stream — when
+    did a series actually emit, and how much per burst — the complement
+    of the fixed-grid tiers (a dashboard asks "what happened", sessions
+    answer "when was anything happening at all").
+
+    Catalyst-native ``F.session_window``: same partial+final hash-agg
+    shape as the fixed-window rollup, state merged by overlapping-range
+    union — works identically in batch and Structured Streaming (with a
+    watermark). An external SQL engine reproduces it with the classic
+    gaps-and-islands window (lag + cumulative new-session flag), which
+    is what the correctness oracle does."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        points.groupBy(*keys, w.alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 def tier_moving_agg(
     tier: DataFrame,
     k: int = 5,

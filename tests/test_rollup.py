@@ -209,3 +209,36 @@ def test_percentile_column_names_round_not_truncate(spark):
     )
     cols = rollup_percentiles(pts, percentiles=(0.29, 0.95)).columns
     assert "p29" in cols and "p95" in cols and "p28" not in cols
+
+
+def test_session_rollup(spark):
+    """Session semantics (pinned empirically, mirrored by the SQL
+    oracle): a point exactly at session_end (last_ts + gap) still MERGES
+    — a new session needs ts − prev_ts > gap, strictly."""
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import session_rollup
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            (0, "m", t0, 1.0),
+            (0, "m", t0 + dt.timedelta(seconds=100), 2.0),   # same session
+            (0, "m", t0 + dt.timedelta(seconds=400), 4.0),   # at boundary -> merges
+            (0, "m", t0 + dt.timedelta(seconds=701), 8.0),   # 301s gap -> new
+            (1, "m", t0, 16.0),                              # other series
+        ],
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    out = sorted(
+        session_rollup(pts, gap="5 minutes").collect(),
+        key=lambda r: (r["bucket"], r["session_start"]),
+    )
+    assert [(r["bucket"], r["cnt"], r["sum_value"]) for r in out] == [
+        (0, 3, 7.0),
+        (0, 1, 8.0),
+        (1, 1, 16.0),
+    ]
+    # end = last event + gap
+    assert out[0]["session_end"] == t0 + dt.timedelta(seconds=400 + 300)
+    assert out[0]["session_start"] == t0
