@@ -53,3 +53,42 @@ def test_cli_scrape_mode(spark, tmp_path, capsys):
 def test_cli_source_validation(spark, tmp_path, capsys):
     rc = main(["--scrape", "--state", str(tmp_path / "s")])
     assert rc == 2
+
+
+def test_cli_daemon_retention_clock_advances(spark, tmp_path, capsys, monkeypatch):
+    """Regression (round-4 advisor): a long-running daemon's TTL cutoff
+    must be recomputed EVERY tick, not frozen at process start — the
+    reference evicts relative to current time each pass
+    (src/sink.rs:101-146). Pin: each tick consults the wall clock anew
+    when --now is not given."""
+    import time as time_mod
+
+    import beamium_spark.__main__ as main_mod
+
+    calls = []
+    real_strftime = time_mod.strftime
+
+    def counting_strftime(fmt, *a):
+        if fmt == "%Y-%m-%dT%H:%M:%S":
+            calls.append(fmt)
+        return real_strftime(fmt, *a)
+
+    monkeypatch.setattr(main_mod.time, "strftime", counting_strftime)
+    monkeypatch.setattr(main_mod.time, "sleep", lambda s: None)
+
+    d = tmp_path / "gts"
+    d.mkdir()
+    (d / "a.metrics").write_text("1735689600000000// node_cpu{h=a} 1.0\n")
+    cfg = tmp_path / "engine.json"
+    cfg.write_text(json.dumps({
+        "scrapers": {"nodes": {"format": "sensision"}},
+        "sinks": {"warp": {"table": "warp", "selector": "node_.*", "ttl": "48h"}},
+    }))
+    rc = main([
+        "--scrape", "--daemon", "--max-ticks", "3",
+        "--config", str(cfg), "--state", str(tmp_path / "state"),
+        "--source", f"nodes={d}",
+    ])
+    assert rc == 0
+    # one wall-clock read PER TICK (pre-fix: exactly one at process start)
+    assert len(calls) == 3
