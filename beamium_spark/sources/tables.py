@@ -57,13 +57,41 @@ class ParquetTierStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
-    def write_chunks(self, df: DataFrame, table: str, chunk_col: str = "chunk_start") -> None:
+    #: default clustering for tier-shaped tables — any subset present in
+    #: the frame is used, in this order
+    SORT_COLS = ("bucket", "metric", "window_start")
+
+    def write_chunks(
+        self,
+        df: DataFrame,
+        table: str,
+        chunk_col: str = "chunk_start",
+        sort_cols: tuple[str, ...] | None = SORT_COLS,
+    ) -> None:
         """Idempotent per-chunk overwrite: partitions by an **hour-granular**
         chunk key and replaces only partitions present in ``df`` (dynamic
         overwrite mode, set in the session factory). Hour granularity makes
         the overwrite unit exactly the job's work unit — a partial day never
-        clobbers sibling chunks."""
+        clobbers sibling chunks.
+
+        Rows are CLUSTERED on (chunk_key, *sort_cols∩columns): one
+        range-repartition + within-task sort makes every emitted parquet
+        file a GLOBALLY disjoint sorted run, so file- and row-group-level
+        min/max stats prune reads filtered on bucket/metric, not just on
+        time — at 10^5+ chunks × many files that is the difference
+        between listing stats and scanning data. The write pays one
+        range exchange, but tier frames are key-cardinality-bounded (the
+        post-agg output, never raw data) and the store is read many
+        times per write. Leading with chunk_key also satisfies the
+        partitioned writer's required ordering, so Spark adds no extra
+        sort of its own. ``sort_cols=None`` disables both (append-shaped
+        tables)."""
         out = df.withColumn("chunk_key", F.date_format(chunk_col, "yyyy-MM-dd-HH"))
+        cluster = [c for c in (sort_cols or ()) if c in out.columns]
+        if cluster:
+            out = out.repartitionByRange("chunk_key", *cluster).sortWithinPartitions(
+                "chunk_key", *cluster
+            )
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).option(

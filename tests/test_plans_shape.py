@@ -219,3 +219,65 @@ def test_top_urls_salting_is_lossless(spark, pages):
     a = top_urls(pages, "1 hour", k=5, salt_factor=1)
     b = top_urls(pages, "1 hour", k=5, salt_factor=64)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_write_chunks_clusters_files_into_disjoint_runs(spark, tmp_path):
+    """Chunk writes sort rows by (chunk_key, bucket, metric, window_start)
+    so each emitted parquet file is a disjoint sorted run — file-level
+    min/max stats then prune bucket/metric-filtered reads. Verified from
+    the parquet footers: per chunk partition, file key-ranges must not
+    overlap."""
+    import datetime as dt
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    store = ParquetTierStore(spark, str(tmp_path / "store"), max_records_per_file=100)
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (b, f"m{m}", t0 + dt.timedelta(minutes=i), 1, 1.0, 1.0, 1.0)
+        for b in range(8)
+        for m in range(4)
+        for i in range(30)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "bucket int, metric string, window_start timestamp, cnt long, "
+            "sum_value double, min_value double, max_value double",
+        )
+        .withColumn("chunk_start", F.date_trunc("hour", "window_start"))
+        .repartition(4)  # scrambled input: clustering must come from the write
+    )
+    store.write_chunks(df, "t1m")
+
+    part = os.path.join(str(tmp_path / "store"), "t1m", "chunk_key=2025-01-01-00")
+    files = sorted(glob.glob(os.path.join(part, "*.parquet")))
+    assert len(files) >= 3  # maxRecordsPerFile forced a split
+    # composite (bucket, metric, window_start) ranges from actual first/
+    # last rows (column-wise parquet min/max can't express a composite
+    # ordering): files must be globally disjoint sorted runs
+    runs = []
+    for f in files:
+        t = pq.read_table(f, columns=["bucket", "metric", "window_start"])
+        rows = list(zip(*[t.column(c).to_pylist() for c in ("bucket", "metric", "window_start")]))
+        assert rows == sorted(rows), f"{f} is not internally sorted"
+        runs.append((rows[0], rows[-1]))
+    runs.sort()
+    for (_lo_a, hi_a), (lo_b, _hi_b) in zip(runs, runs[1:]):
+        assert hi_a <= lo_b, f"overlapping file runs: {hi_a} > {lo_b}"
+    # and parquet stats are now selective: most files' footers exclude
+    # part of the (bucket, metric) key space (an unsorted write gives
+    # every file the FULL min..max range — zero pruning power)
+    selective = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        cols = {md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i)
+                for i in range(md.row_group(0).num_columns)}
+        b, m = cols["bucket"].statistics, cols["metric"].statistics
+        if (b.min, b.max) != (0, 7) or (m.min, m.max) != ("m0", "m3"):
+            selective += 1
+    assert selective >= len(files) * 3 // 4, f"{selective}/{len(files)} selective"
