@@ -117,6 +117,44 @@ def fingerprint(text: Column, base: int = 131, mod: int = (1 << 31) - 1) -> Colu
     )
 
 
+# PII patterns — deliberately conservative, RE2-portable (no lookarounds),
+# identical semantics in Spark and DuckDB so the scrub is oracle-able.
+# Scrub order is fixed (email, then IPv4, then phone) and counts run on
+# the progressively-scrubbed text, so kinds never double-count overlap.
+# The email form requires an alphabetic TLD (an IP-domain address is not
+# an email match; its IP part scrubs as an IP). The phone form is
+# intentionally narrow (+ followed by 9-15 digits); broader phone
+# heuristics overmatch ordinary numbers — callers with region-specific
+# needs pass their own patterns.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / international phone numbers with typed
+    placeholders — the C4-style pre-training scrub, pure Catalyst
+    (vectorized regexp_replace chain, no shuffle, no Python)."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (the audit column next to the scrub).
+    Counted on the same progressively-scrubbed text the replacements see,
+    so kinds never double-count each other's matches."""
+    out = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
 def word_ngrams_all(text: Column, n: int) -> Column:
     """ALL word n-grams in order (duplicates kept — frequency semantics,
     unlike dedup's distinct-set form). Texts shorter than n words yield

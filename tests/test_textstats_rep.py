@@ -49,3 +49,30 @@ def test_repetition_stats(spark):
     # "go go" x5 of 5 bigrams
     assert out["loop"]["top_bigram_frac"] == 1.0
     assert pytest is not None and F is not None
+
+
+def test_scrub_pii(spark):
+    from beamium_spark.operators.textstats import pii_counts, scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "mail me at jo.doe+x@example.co.uk or call +4915112345678"),
+            ("b", "server 192.168.0.1 and also user@10.0.0.1"),
+            ("c", "clean text with plain numbers 1234567890 and 1.5"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["scrubbed"], r["email"], r["ipv4"], r["phone"])
+        for r in docs.select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("scrubbed"),
+            *[v.alias(k) for k, v in pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    assert out["a"] == ("mail me at <EMAIL> or call <PHONE>", 1, 0, 1)
+    # the email pattern requires an alphabetic TLD, so an IP-domain
+    # address is NOT an email match — its IP part scrubs as an IP
+    assert out["b"] == ("server <IP> and also user@<IP>", 0, 2, 0)
+    # plain numbers and decimals untouched
+    assert out["c"] == ("clean text with plain numbers 1234567890 and 1.5", 0, 0, 0)
