@@ -575,6 +575,72 @@ def url_dedup(
     )
 
 
+def dedup_paragraphs_rewrite(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus duplicate-paragraph REMOVAL with text reassembly —
+    the rewrite form of :func:`paragraph_dedup_stats` (MassiveText's
+    actual mutation, not just its report): every distinct paragraph text
+    survives exactly once corpus-wide, at its first occurrence (min
+    (doc_id, position)); all other occurrences — cross-document AND
+    within-document repeats — are dropped, and each document's remaining
+    paragraphs re-join in order with blank lines.
+
+    Returns (id, text, n_paragraphs, n_kept); documents whose every
+    paragraph was claimed elsewhere come back with ``text = ''`` (callers
+    typically drop those rows — their content exists verbatim elsewhere).
+
+    Scale shape — the boilerplate-paragraph hazard is handled: the
+    winner per paragraph is an AGGREGATION (min struct over the hash
+    key), so a paragraph with 10^9 occurrences ("subscribe to our
+    newsletter") reduces map-side via partial combine, never in one
+    task. Survivors attach via an equi-join on the full (hash, id, pos)
+    triple — unique per row, so the join partitioning has no hot key
+    either. Reassembly groups by doc (bounded by document size). The
+    shuffle carries (hash, id, pos) + the surviving paragraphs' text
+    only."""
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.trim(p)
+                ),
+                lambda p: p != "",
+            )
+        ).alias("pos", "para"),
+    ).withColumn("ph", F.xxhash64("para"))
+    winners = paras.groupBy("ph").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    ).select("ph", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos"))
+    kept = paras.join(
+        winners,
+        (paras["ph"] == winners["ph"])
+        & (paras["id"] == winners["wid"])
+        & (paras["pos"] == winners["wpos"]),
+    ).select(paras["id"], "pos", "para")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+    totals = paras.groupBy("id").agg(F.count("*").alias("n_paragraphs"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def paragraph_dedup_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

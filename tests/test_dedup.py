@@ -172,3 +172,27 @@ def test_paragraph_dedup_stats(spark):
     assert out[1] == (2, 1)  # "gamma delta" shared with doc 2
     assert out[2] == (2, 1)
     assert out[3] == (1, 0)
+
+
+def test_dedup_paragraphs_rewrite(spark):
+    """First occurrence (min doc_id, pos) of each paragraph survives;
+    cross-doc and within-doc repeats are removed; texts reassemble in
+    order; fully-claimed docs come back empty."""
+    from beamium_spark.operators.dedup import dedup_paragraphs_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\n\nshared boiler\n\nalpha two"),
+            (2, "shared boiler\n\nbeta one\n\nshared boiler"),  # within-doc repeat too
+            (3, "shared boiler"),                               # fully claimed
+            (4, "gamma\n \n  \ngamma tail"),                    # blank-ish separators
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dedup_paragraphs_rewrite(docs).collect()}
+    assert out[1]["text"] == "alpha one\n\nshared boiler\n\nalpha two"
+    assert (out[1]["n_paragraphs"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text"] == "beta one"
+    assert (out[2]["n_paragraphs"], out[2]["n_kept"]) == (3, 1)
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "gamma\n\ngamma tail"  # separators normalized
