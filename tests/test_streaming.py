@@ -244,3 +244,58 @@ def test_staleness_alerts(spark, tmp_path):
     # mem alerted once the tick pushed the watermark past its horizon
     assert len(by_metric["mem"]) == 1
     assert by_metric["mem"][0]["last_seen"] == dt.datetime(2025, 1, 1, 0, 29, 45)
+
+
+def test_streaming_session_rollup(spark, tmp_path):
+    """session_rollup works unchanged over a watermarked stream: bursts
+    split on the gap, and a drained stream equals the batch answer."""
+    from beamium_spark.operators.rollup import session_rollup
+    from beamium_spark.streaming.rollup_stream import read_gts_stream
+
+    d = tmp_path / "gts"
+    d.mkdir()
+    base = 1735689600000000
+    lines = [f"{base + i * 30_000_000}// cpu{{h=a}} 1.0" for i in range(6)]
+    # 20-minute silence, then a second burst
+    lines += [f"{base + (1200 + i * 30) * 1_000_000}// cpu{{h=a}} 2.0" for i in range(4)]
+    (d / "a.metrics").write_text("\n".join(lines) + "\n")
+    # sentinel pushes the watermark far past both bursts
+    (d / "z.metrics").write_text(f"{base + 10**12}// cpu{{h=a}} 0\n")
+
+    pts = read_gts_stream(spark, str(d)).withWatermark("ts", "1 minute").selectExpr(
+        "cast(0 as int) bucket", "metric", "ts", "value"
+    )
+    agg = session_rollup(pts, gap="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.sql(
+            "select * from sess_stream where session_start < '2025-01-02'"
+        ).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [(r["cnt"], r["sum_value"]) for r in rows] == [(6, 6.0), (4, 8.0)]
+
+    # batch equivalence
+    from beamium_spark.sources.gts import read_gts
+    import pyspark.sql.functions as FF
+
+    bpts = read_gts(spark, str(d), metrics_only=True).filter(
+        FF.col("ts") < "2025-01-02"
+    ).selectExpr("cast(0 as int) bucket", "metric", "ts", "value")
+    brows = sorted(
+        session_rollup(bpts, gap="5 minutes").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [(r["session_start"], r["session_end"], r["cnt"], r["sum_value"]) for r in rows] == [
+        (r["session_start"], r["session_end"], r["cnt"], r["sum_value"]) for r in brows
+    ]
