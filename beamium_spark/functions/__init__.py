@@ -1,6 +1,7 @@
 from beamium_spark.functions.labels import (  # noqa: F401
     add_labels,
     format_gts_line,
+    labels_sorted_str,
     labels_to_str,
     parse_gts_line,
     remove_labels,
