@@ -8,12 +8,17 @@ that surface, composing the library's hardened operators:
 1. exact dedup          — keep the smallest id per distinct text
                           (operators.dedup.exact_dedup — narrow 128-bit
                           double-hash shuffle, collision-safe)
-2. decontamination      — drop docs sharing ≥ min_hits benchmark
+2. near-dedup (optional)— MinHash-LSH clusters at a Jaccard threshold;
+                          every non-representative member drops
+                          (operators.dedup.minhash_lsh_pairs +
+                          cluster_representatives — banded narrow
+                          exchanges, exact-verified candidates)
+3. decontamination      — drop docs sharing ≥ min_hits benchmark
                           n-grams (operators.decontam — broadcast probe)
-3. quality filter       — operators.textstats.quality_score ≥ threshold
-4. repetition filter    — dup-line / top-bigram fractions under caps
+4. quality filter       — operators.textstats.quality_score ≥ threshold
+5. repetition filter    — dup-line / top-bigram fractions under caps
                           (operators.textstats.repetition_stats)
-5. sampling (optional)  — deterministic hash_sample fraction
+6. sampling (optional)  — deterministic hash_sample fraction
 
 Everything materializes in ONE job: verdict columns are computed lazily,
 drop reasons resolve by fixed precedence (duplicate > contaminated >
@@ -42,6 +47,7 @@ def curation_verdicts(
     sample_fraction: float | None = None,
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
+    near_dup_threshold: float | None = None,
     seed: int = 42,
     portable_sample: bool = False,
     id_col: str = "doc_id",
@@ -50,9 +56,13 @@ def curation_verdicts(
     """docs + (kept boolean, reason string|NULL) — the full audit frame.
 
     ``reason`` is the FIRST failing stage in precedence order
-    (duplicate > contaminated > low_quality > repetitive > sampled_out);
-    ``kept`` ⇔ reason IS NULL. Benchmark None skips decontamination;
-    sample_fraction None skips sampling.
+    (duplicate > near_duplicate > contaminated > low_quality >
+    repetitive > sampled_out); ``kept`` ⇔ reason IS NULL. Benchmark None
+    skips decontamination; sample_fraction None skips sampling;
+    ``near_dup_threshold`` (a Jaccard level, e.g. 0.8) adds MinHash-LSH
+    near-dedup — each cluster keeps its min-id representative, every
+    other member drops as 'near_duplicate' (exact copies still report
+    'duplicate': that stage wins precedence).
     """
     from beamium_spark.operators.dedup import exact_dedup
     from beamium_spark.operators.textstats import quality_score, repetition_stats
@@ -63,6 +73,27 @@ def curation_verdicts(
     v = docs.join(winners, id_col, "left").withColumn(
         "__dup_keep", F.coalesce("__dup_keep", F.lit(False))
     )
+
+    if near_dup_threshold is not None:
+        from beamium_spark.operators.dedup import (
+            cluster_representatives,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            docs, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+        )
+        doomed = (
+            cluster_representatives(pairs)
+            .filter(F.col("id") != F.col("rep"))
+            .select(F.col("id").alias(id_col), F.lit(True).alias("__near"))
+        )
+        # non-representative members are ≪ corpus at any sane dup rate
+        v = v.join(F.broadcast(doomed), id_col, "left").withColumn(
+            "__near", F.coalesce("__near", F.lit(False))
+        )
+    else:
+        v = v.withColumn("__near", F.lit(False))
 
     if benchmark is not None:
         from beamium_spark.operators.decontam import contamination
@@ -102,6 +133,7 @@ def curation_verdicts(
 
     reason = (
         F.when(~F.col("__dup_keep"), F.lit("duplicate"))
+        .when(F.col("__near"), F.lit("near_duplicate"))
         .when(F.col("__contam"), F.lit("contaminated"))
         .when(F.col("__q") < min_quality, F.lit("low_quality"))
         .when(rep_bad, F.lit("repetitive"))
@@ -110,7 +142,10 @@ def curation_verdicts(
     return (
         v.withColumn("reason", reason)
         .withColumn("kept", F.col("reason").isNull())
-        .drop("__dup_keep", "__contam", "__q", "dup_line_frac", "top_bigram_frac")
+        .drop(
+            "__dup_keep", "__near", "__contam", "__q",
+            "dup_line_frac", "top_bigram_frac",
+        )
     )
 
 

@@ -81,3 +81,31 @@ def test_corpus_body_never_shuffled(spark, corpus):
     )
     assert "Exchange" in plan  # the narrow joins exist
     assert F is not None and pytest is not None
+
+
+def test_curate_near_dup_stage(spark):
+    """near_dup_threshold adds MinHash-LSH near-dedup: a near-copy (not
+    exact) drops as 'near_duplicate', the representative survives, and an
+    EXACT copy still reports 'duplicate' (precedence)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and it was that good "
+        "for everyone in the field to see it happen again and again today "
+        "with more and more of the same words repeated for length"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " slightly changed tail"),  # near-dup of 1
+            (3, base),                             # exact dup of 1
+            (4, "the completely different document that it was for and of "
+                "this other topic in the was is that it for"),
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["reason"] for r in curation_verdicts(
+        docs, near_dup_threshold=0.7
+    ).collect()}
+    assert v[1] is None
+    assert v[2] == "near_duplicate"
+    assert v[3] == "duplicate"
+    assert v[4] is None
