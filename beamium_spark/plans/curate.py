@@ -150,19 +150,29 @@ def curation_verdicts(
 
 
 def curate(
-    docs: DataFrame, benchmark: DataFrame | None = None, **kwargs
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    scrub: bool = False,
+    **kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean corpus, report) — the one-call curation surface.
 
     ``clean`` is ``docs``' columns for kept rows; ``report`` is one row
     per drop reason plus 'kept' with counts (the audit the reference's
-    scraped/filtered/forwarded counters become at corpus scale). Cache
-    the verdict frame when collecting both outputs, or the corpus scans
-    twice — curate() does this for you and leaves the cache for the
-    caller to release (``clean.unpersist()``-equivalent:
-    ``spark.catalog.clearCache()``)."""
+    scraped/filtered/forwarded counters become at corpus scale).
+    ``scrub=True`` additionally PII-scrubs the kept documents' text
+    (operators.textstats.scrub_pii — a pure projection, applied only to
+    survivors so dropped rows never pay it). Cache the verdict frame
+    when collecting both outputs, or the corpus scans twice — curate()
+    does this for you and leaves the cache for the caller to release
+    (``spark.catalog.clearCache()``)."""
+    text_col = kwargs.get("text_col", "text")
     v = curation_verdicts(docs, benchmark, **kwargs).cache()
     clean = v.filter(F.col("kept")).drop("kept", "reason")
+    if scrub:
+        from beamium_spark.operators.textstats import scrub_pii
+
+        clean = clean.withColumn(text_col, scrub_pii(F.col(text_col)))
     report = (
         v.groupBy(F.coalesce("reason", F.lit("kept")).alias("outcome"))
         .agg(F.count("*").alias("n"))

@@ -109,3 +109,17 @@ def test_curate_near_dup_stage(spark):
     assert v[2] == "near_duplicate"
     assert v[3] == "duplicate"
     assert v[4] is None
+
+
+def test_curate_scrub_flag(spark):
+    """scrub=True PII-scrubs surviving documents only."""
+    good = ("the quick brown fox and it was that good for everyone in the "
+            "field to see it today")
+    docs = spark.createDataFrame(
+        [(1, good + " mail root@example.org"), (2, "x " * 3)],
+        "doc_id long, text string",
+    )
+    clean, _ = curate(docs, scrub=True)
+    rows = clean.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"].endswith("mail <EMAIL>")

@@ -281,3 +281,23 @@ def test_write_chunks_clusters_files_into_disjoint_runs(spark, tmp_path):
         if (b.min, b.max) != (0, 7) or (m.min, m.max) != ("m0", "m3"):
             selective += 1
     assert selective >= len(files) * 3 // 4, f"{selective}/{len(files)} selective"
+
+
+def test_hash_sampling_is_shuffle_free(spark):
+    """hash_sample / stratified_sample / split_corpus are map-side only:
+    no Exchange anywhere in their plans — the property that lets sampled
+    scans keep their pushed-down filters and partition pruning."""
+    from beamium_spark.operators.sampling import (
+        hash_sample,
+        split_corpus,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        hash_sample(docs, 0.3),
+        stratified_sample(docs, {"en": 0.5}, stratum_col="lang"),
+        split_corpus(docs, {"train": 0.9, "val": 0.1}),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
