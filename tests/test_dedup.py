@@ -196,3 +196,34 @@ def test_dedup_paragraphs_rewrite(spark):
     assert (out[2]["n_paragraphs"], out[2]["n_kept"]) == (3, 1)
     assert out[3]["text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["text"] == "gamma\n\ngamma tail"  # separators normalized
+
+
+def test_paragraph_rewrite_matches_bruteforce(spark):
+    """Property: rewrite == a dict-based reference over random corpora
+    (first (doc, pos) occurrence of each paragraph survives)."""
+    import random
+    import re
+
+    rng = random.Random(7)
+    vocab = [f"p{i}" for i in range(6)]  # small vocab forces collisions
+    rows = []
+    for did in range(12):
+        paras = [rng.choice(vocab) for _ in range(rng.randint(1, 5))]
+        rows.append((did, "\n\n".join(paras)))
+    from beamium_spark.operators.dedup import dedup_paragraphs_rewrite
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["text"], r["n_paragraphs"], r["n_kept"])
+           for r in dedup_paragraphs_rewrite(docs).collect()}
+
+    seen = set()
+    want = {}
+    for did, text in rows:  # rows are in (doc_id, pos) order already
+        paras = [p for p in re.split(r"\n\s*\n", text) if p.strip()]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[did] = ("\n\n".join(kept), len(paras), len(kept))
+    assert got == want

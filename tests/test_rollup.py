@@ -242,3 +242,51 @@ def test_session_rollup(spark):
     # end = last event + gap
     assert out[0]["session_end"] == t0 + dt.timedelta(seconds=400 + 300)
     assert out[0]["session_start"] == t0
+
+
+# ---- property: session_rollup == brute-force sessionizer -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    offsets=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 3000)), min_size=1, max_size=25
+    )
+)
+def test_session_rollup_matches_bruteforce(spark, offsets):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import session_rollup
+
+    t0 = dt.datetime(2025, 1, 1)
+    gap = 300
+    pts = spark.createDataFrame(
+        [(k, "m", t0 + dt.timedelta(seconds=s), 1.0) for k, s in offsets],
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    got = sorted(
+        (r["bucket"], r["session_start"], r["session_end"], r["cnt"], r["sum_value"])
+        for r in session_rollup(pts, gap="5 minutes").collect()
+    )
+
+    # brute force: sort per key, split when diff > gap (strict — pinned)
+    want = []
+    for k in {k for k, _ in offsets}:
+        ss = sorted(s for kk, s in offsets if kk == k)
+        runs, cur = [], [ss[0]]
+        for s in ss[1:]:
+            if s - cur[-1] > gap:
+                runs.append(cur)
+                cur = [s]
+            else:
+                cur.append(s)
+        runs.append(cur)
+        for r in runs:
+            want.append(
+                (k, t0 + dt.timedelta(seconds=r[0]),
+                 t0 + dt.timedelta(seconds=r[-1] + gap), len(r), float(len(r)))
+            )
+    assert got == sorted(want)
