@@ -598,7 +598,15 @@ def dedup_paragraphs_rewrite(
     triple — unique per row, so the join partitioning has no hot key
     either. Reassembly groups by doc (bounded by document size). The
     shuffle carries (hash, id, pos) + the surviving paragraphs' text
-    only."""
+    only.
+
+    Collision safety — this op DELETES text, so identity mirrors
+    :func:`exact_dedup`'s 128-bit form: paragraphs group on the double
+    key (ph, ph2) of two independent xxhash64 values. A single-hash
+    collision (~n²/2⁶⁴, expected in the >2³² distinct paragraphs of a
+    10¹²-doc corpus) would silently delete the losing paragraph's text;
+    with the double key a false merge needs a simultaneous 128-bit
+    collision (~n²/2¹²⁸), negligible at 10¹³ paragraphs."""
     paras = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -609,13 +617,16 @@ def dedup_paragraphs_rewrite(
                 lambda p: p != "",
             )
         ).alias("pos", "para"),
-    ).withColumn("ph", F.xxhash64("para"))
-    winners = paras.groupBy("ph").agg(
+    ).withColumn("ph", F.xxhash64("para")).withColumn(
+        "ph2", F.xxhash64(F.lit("bmp2"), F.col("para"))
+    )
+    winners = paras.groupBy("ph", "ph2").agg(
         F.min(F.struct("id", "pos")).alias("w")
-    ).select("ph", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos"))
+    ).select("ph", "ph2", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos"))
     kept = paras.join(
         winners,
         (paras["ph"] == winners["ph"])
+        & (paras["ph2"] == winners["ph2"])
         & (paras["id"] == winners["wid"])
         & (paras["pos"] == winners["wpos"]),
     ).select(paras["id"], "pos", "para")
@@ -649,10 +660,11 @@ def paragraph_dedup_stats(
     many of its paragraphs also appear elsewhere in the corpus.
 
     Returns (id, n_paragraphs, n_dup_paragraphs, dup_ratio). Shuffle
-    carries (paragraph-hash, id) pairs only — the paragraph TEXT stays in
-    its scan (xxhash64 is computed in the projection; a 128-bit double
-    hash variant mirrors exact_dedup's collision handling if needed at
-    10^12 scale — at paragraph counts ~10^13 use that form).
+    carries (double-hash, id) tuples only — the paragraph TEXT stays in
+    its scan. Paragraph identity is the same 128-bit (ph, ph2) double
+    key as :func:`dedup_paragraphs_rewrite` / :func:`exact_dedup`, so
+    false dup counts need a simultaneous 128-bit collision — negligible
+    at 10^13 paragraphs.
     """
     paras = docs.select(
         F.col(id_col).alias("id"),
@@ -664,10 +676,14 @@ def paragraph_dedup_stats(
                 lambda p: p != "",
             )
         ).alias("para"),
-    ).select("id", F.xxhash64("para").alias("ph"))
-    freq = paras.groupBy("ph").agg(F.count("*").alias("n"))
+    ).select(
+        "id",
+        F.xxhash64("para").alias("ph"),
+        F.xxhash64(F.lit("bmp2"), F.col("para")).alias("ph2"),
+    )
+    freq = paras.groupBy("ph", "ph2").agg(F.count("*").alias("n"))
     return (
-        paras.join(freq, "ph")
+        paras.join(freq, ["ph", "ph2"])
         .groupBy("id")
         .agg(
             F.count("*").alias("n_paragraphs"),

@@ -37,21 +37,35 @@ def hashed_tfidf(
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Sparse hashed TF-IDF: (id, bucket, weight) rows, weight = tf ×
     (ln((N+1)/(df+1)) + 1) with N = corpus size, df = docs containing the
     bucket — the smoothed-idf form, deterministic and engine-neutral.
-    Dense/normalized form via :func:`assemble_dense`."""
+    Dense/normalized form via :func:`assemble_dense`.
+
+    Fully LAZY: when ``n_docs`` is not supplied, N is a one-row
+    ``count(*)`` aggregate broadcast-cross-joined into the (≤ dim rows)
+    idf frame, so it computes inside the same action as the rest of the
+    plan — no eager driver job at build time, and the corpus count scan
+    is column-pruned to row-group metadata on parquet sources. Callers
+    that already know the corpus size pass ``n_docs`` to skip that branch
+    entirely."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("tok"),
     ).select("id", F.pmod(portable_hash60(F.col("tok")), F.lit(dim)).alias("bucket"))
     tf = toks.groupBy("id", "bucket").agg(F.count("*").alias("tf"))
-    n_docs = docs.count()
     df_ = tf.groupBy("bucket").agg(F.count("*").alias("df"))
+    if n_docs is not None:
+        n_col = F.lit(float(n_docs))
+    else:
+        n_row = docs.agg(F.count("*").cast("double").alias("__n"))
+        df_ = df_.crossJoin(F.broadcast(n_row))
+        n_col = F.col("__n")
     idf = df_.select(
         "bucket",
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1).alias("idf"),
+        (F.log((n_col + 1) / (F.col("df") + 1)) + 1).alias("idf"),
     )
     return tf.join(F.broadcast(idf), "bucket").select(
         "id", "bucket", (F.col("tf") * F.col("idf")).alias("weight")

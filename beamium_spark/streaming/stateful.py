@@ -14,8 +14,9 @@ timeouts, which is exactly Structured Streaming's
   event-time timeout at ``last_seen + threshold``;
 - when the WATERMARK passes the timeout (i.e. the stream has provably
   moved on without this series), the state times out → emit one alert
-  row (metric, last_seen, silent_for_s declared at detection) and drop
-  the state, so a series that resumes later re-arms from scratch.
+  row (key, last_seen, the MEASURED silent_for_s = watermark − last_seen
+  at detection, and the configured threshold_s) and drop the state, so a
+  series that resumes later re-arms from scratch.
 
 Scale shape: state is (key → one long), partitioned by the shuffle on
 the group key — the same sizing as any streaming agg;
@@ -29,7 +30,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-ALERT_SCHEMA = "metric string, last_seen timestamp, threshold_s long"
+def alert_schema(key_col: str = "metric") -> str:
+    """Output schema of :func:`staleness_alerts` — the key column carries
+    the caller's ``key_col`` name, so alerts over e.g. ``url`` streams are
+    labeled correctly."""
+    return (
+        f"{key_col} string, last_seen timestamp, "
+        "silent_for_s double, threshold_s long"
+    )
+
+
+# default-key form kept for callers that introspect the schema
+ALERT_SCHEMA = alert_schema()
 _STATE_SCHEMA = "last_us long"
 
 
@@ -56,10 +68,15 @@ def staleness_alerts(
         if state.hasTimedOut:
             (last_us,) = state.get
             state.remove()
+            # measured silence at detection: how far the stream's
+            # watermark has provably moved past this series' last point
+            wm_ms = state.getCurrentWatermarkMs()
+            silent_s = max(0.0, wm_ms / 1000.0 - last_us / 1_000_000.0)
             yield pd.DataFrame(
                 {
-                    "metric": [key[0]],
+                    key_col: [key[0]],
                     "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "silent_for_s": [silent_s],
                     "threshold_s": [threshold_s],
                 }
             )
@@ -72,14 +89,16 @@ def staleness_alerts(
         state.update((mx_us,))
         # event-time timeout is in epoch MILLIseconds
         state.setTimeoutTimestamp(mx_us // 1000 + threshold_s * 1000)
-        yield pd.DataFrame({"metric": [], "last_seen": [], "threshold_s": []})
+        yield pd.DataFrame(
+            {key_col: [], "last_seen": [], "silent_for_s": [], "threshold_s": []}
+        )
 
     return (
         points_stream.withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             detect,
-            outputStructType=ALERT_SCHEMA,
+            outputStructType=alert_schema(key_col),
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -241,6 +241,10 @@ def test_staleness_alerts(spark, tmp_path):
 
     assert by_metric["cpu"][0]["last_seen"] == dt.datetime(2025, 1, 1, 0, 1, 45)
     assert by_metric["cpu"][0]["threshold_s"] == 120
+    # measured silence at detection: the watermark had provably moved at
+    # least threshold_s past cpu's last point (exact value depends on how
+    # far mem's points drove the watermark when the timeout fired)
+    assert by_metric["cpu"][0]["silent_for_s"] >= 120
     # mem alerted once the tick pushed the watermark past its horizon
     assert len(by_metric["mem"]) == 1
     assert by_metric["mem"][0]["last_seen"] == dt.datetime(2025, 1, 1, 0, 29, 45)

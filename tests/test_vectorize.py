@@ -74,3 +74,16 @@ def test_empty_doc_zero_vector(spark):
     zero = spark.createDataFrame([(9, 0, 0.0)], "id long, bucket int, weight double")
     v = assemble_dense(zero, dim=8).collect()[0]["vec"]
     assert v == [0.0] * 8
+
+
+def test_tfidf_lazy_and_precomputed_n_match(spark, docs):
+    """The lazy corpus-count branch (N derived inside the plan) and the
+    precomputed n_docs fast path produce identical weights, and the lazy
+    form triggers no driver job at build time."""
+    lazy = hashed_tfidf(docs, dim=64)          # no action should run here
+    pre = hashed_tfidf(docs, dim=64, n_docs=4)
+    a = {(r["id"], r["bucket"]): r["weight"] for r in lazy.collect()}
+    b = {(r["id"], r["bucket"]): r["weight"] for r in pre.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12)
