@@ -237,13 +237,28 @@ def minhash_lsh_pairs(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_ids: bool | int = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs, verified by **exact** Jaccard on the
     n-gram sets. Shuffles: one on (band, band_hash) for the bucket join,
     one pair aggregation. Output matches the brute-force answer whenever
-    LSH recall holds (P[miss] = (1-j^R)^B, ~1e-7 at the defaults)."""
+    LSH recall holds (P[miss] = (1-j^R)^B, ~1e-7 at the defaults).
+    ``broadcast_ids`` — see :func:`_verify_jaccard_pruned`: set False (or
+    an id-count threshold) on mostly-duplicate corpora where the
+    candidate-id set would outgrow the broadcast limit.
+
+    ``materialize=True`` is the long-lived-session form (see the module
+    docstring's cache-lifecycle note): the result is computed eagerly
+    into its own cache and every INTERNAL cache (signatures, candidate
+    pairs) is released before return — the one cached object left behind
+    is the returned pair frame itself, which the caller owns
+    (``.unpersist()`` when done). The default keeps the plan fully lazy
+    and inspectable, with internal caches living until the caller clears
+    them."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, seed, text_col, id_col).cache()
+    registry: list[DataFrame] = [sigs]
     banded = sigs.select(
         "id",
         F.explode(
@@ -274,12 +289,33 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    verified = _verify_jaccard_pruned(cand, sigs.select("id", "__grams"), threshold)
-    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    verified = _verify_jaccard_pruned(
+        cand, sigs.select("id", "__grams"), threshold, broadcast_ids, registry
+    )
+    out = verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _materialize_and_release(out, registry) if materialize else out
+
+
+def _materialize_and_release(out: DataFrame, registry: list[DataFrame]) -> DataFrame:
+    """Eager-cache ``out`` (one count forces the whole pipeline while the
+    internal caches are still live and doing their de-duplication-of-work
+    job), then release every registered internal cache. Afterward the
+    result's blocks are the only storage footprint; should they be
+    evicted, lineage recomputes without the internal caches — slower,
+    never wrong."""
+    out = out.cache()
+    out.count()
+    for df in registry:
+        df.unpersist()
+    return out
 
 
 def _verify_jaccard_pruned(
-    cand: DataFrame, grams_src: DataFrame, threshold: float
+    cand: DataFrame,
+    grams_src: DataFrame,
+    threshold: float,
+    broadcast_ids: bool | int = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs with the gram
     arrays pruned to candidate docs FIRST.
@@ -290,21 +326,39 @@ def _verify_jaccard_pruned(
     scan only for docs that actually appear in a candidate pair, then flow
     through two candidate-sized id-joins. A plain semi/inner join without
     the broadcast hint would sort-merge and ship EVERY doc's __grams array
-    through the shuffle — the shape this replaces. (If the candidate-id
-    set ever outgrew broadcast range — a corpus that is mostly duplicates —
-    pre-bucketing ``grams_src`` by id and co-partitioning the candidates
-    is the fallback; at dedup thresholds the id set is tiny.)
+    through the shuffle — the shape this replaces at sane dup rates.
+
+    ``broadcast_ids`` governs that hint for corpora where the candidate
+    set is NOT small (a fresh crawl snapshot that is mostly duplicates
+    would blow the driver/executor broadcast limit):
+
+    - ``True`` (default): always hint — right whenever dup rate is sane;
+    - ``False``: plain shuffled semi-join on the narrow id key (grams
+      arrays ship once, hash-partitioned by id — the unavoidable cost
+      when the id set exceeds broadcast range); AQE may still pick a
+      runtime broadcast if the set turns out genuinely small;
+    - ``int N``: adaptive — count the candidate-id set (one bounded job
+      over the already-cached narrow candidate frame) and hint only when
+      it holds ≤ N ids.
 
     ``cand`` may carry extra columns (e.g. simhash hamming); they pass
     through. Adds ``jaccard``; keeps pairs ≥ threshold.
     """
     cand = cand.cache()  # referenced three times: id set + both id-joins
+    if cache_registry is not None:
+        cache_registry.append(cand)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    pruned = grams_src.join(F.broadcast(cand_ids), "id", "left_semi")
+    if isinstance(broadcast_ids, bool):
+        hint = broadcast_ids
+    else:
+        hint = cand_ids.count() <= int(broadcast_ids)
+    pruned = grams_src.join(
+        F.broadcast(cand_ids) if hint else cand_ids, "id", "left_semi"
+    )
     return (
         cand.join(
             pruned.select(F.col("id").alias("id_a"), F.col("__grams").alias("g_a")),
@@ -404,12 +458,16 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "md5",
+    broadcast_ids: bool | int = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the hash into 4 equal-width keys
     (Hamming ≤ 3 ⇒ at least one band equal, Manku et al. WWW'07),
     bucket-join, filter by exact Hamming distance, optionally verify by
     exact n-gram Jaccard. With the default engine-neutral hash the whole
-    pipeline is reproducible in DuckDB — banding, Hamming, and verify."""
+    pipeline is reproducible in DuckDB — banding, Hamming, and verify.
+    ``broadcast_ids`` / ``materialize`` — same contract as
+    :func:`minhash_lsh_pairs`."""
     bits = 60 if hash_mode == "md5" else 64
     band_bits = bits // 4
     band_mask = (1 << band_bits) - 1
@@ -423,6 +481,7 @@ def simhash_pairs(
     sh = base.select(
         "id", _simhash_from_hashes(F.col("__h"), bits).alias("sh"), "__grams"
     ).cache()
+    registry: list[DataFrame] = [sh]
     # scale shape: the banded self-join exchanges ONLY (id, band, bh) —
     # ~20 B/row × 4 bands — never the simhash (refetched by id below) and
     # never the gram arrays (refetched for hamming-surviving pairs only).
@@ -463,8 +522,11 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     if jaccard_verify is not None:
-        out = _verify_jaccard_pruned(out, sh.select("id", "__grams"), jaccard_verify)
-    return out.select("id_a", "id_b", "hamming")
+        out = _verify_jaccard_pruned(
+            out, sh.select("id", "__grams"), jaccard_verify, broadcast_ids, registry
+        )
+    out = out.select("id_a", "id_b", "hamming")
+    return _materialize_and_release(out, registry) if materialize else out
 
 
 def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -529,9 +591,13 @@ def cluster_representatives(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             converged = True
             break
     if not converged:
+        edges.unpersist()
         raise RuntimeError(
             f"cluster_representatives did not converge in {max_iters} iterations"
         )
+    # labels is checkpointed (self-contained) — the edge cache is dead
+    # weight from here on; release it instead of leaking it to the caller
+    edges.unpersist()
     return labels
 
 

@@ -38,6 +38,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _maybe_broadcast(df: DataFrame, broadcast_ids: bool | int) -> DataFrame:
+    """Apply the small-side broadcast hint per the ``broadcast_ids`` knob:
+    True → always hint; False → leave the join shape to Catalyst/AQE (a
+    narrow id-keyed sort-merge, or a runtime broadcast if AQE measures the
+    side as genuinely small); int N → hint only when the frame holds ≤ N
+    rows (one bounded count job — the frames this guards are id + flag
+    columns only)."""
+    if broadcast_ids is True:
+        return F.broadcast(df)
+    if broadcast_ids is False:
+        return df
+    return F.broadcast(df) if df.count() <= int(broadcast_ids) else df
+
+
 def curation_verdicts(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -50,6 +64,8 @@ def curation_verdicts(
     near_dup_threshold: float | None = None,
     seed: int = 42,
     portable_sample: bool = False,
+    broadcast_ids: bool | int = True,
+    materialize: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -63,6 +79,13 @@ def curation_verdicts(
     near-dedup — each cluster keeps its min-id representative, every
     other member drops as 'near_duplicate' (exact copies still report
     'duplicate': that stage wins precedence).
+
+    ``broadcast_ids`` governs the small-side hints on the doomed/flagged
+    id joins (and flows into MinHash verification): the default True is
+    right at sane dup/contamination rates; on a mostly-duplicate corpus
+    (fresh crawl snapshots) pass False — the ids are narrow, so the
+    fallback sort-merge join is cheap and can never blow the broadcast
+    limit — or an int row-count threshold for the adaptive form.
     """
     from beamium_spark.operators.dedup import exact_dedup
     from beamium_spark.operators.textstats import quality_score, repetition_stats
@@ -81,15 +104,26 @@ def curation_verdicts(
         )
 
         pairs = minhash_lsh_pairs(
-            docs, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+            docs,
+            threshold=near_dup_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            broadcast_ids=broadcast_ids,
+            materialize=materialize,
         )
         doomed = (
             cluster_representatives(pairs)
             .filter(F.col("id") != F.col("rep"))
             .select(F.col("id").alias(id_col), F.lit(True).alias("__near"))
         )
-        # non-representative members are ≪ corpus at any sane dup rate
-        v = v.join(F.broadcast(doomed), id_col, "left").withColumn(
+        if materialize:
+            # cluster_representatives ran eagerly against the materialized
+            # pair cache; its labels are checkpointed (self-contained), so
+            # the pair cache is dead weight from here on
+            pairs.unpersist()
+        # non-representative members are ≪ corpus at any sane dup rate;
+        # broadcast_ids=False/int covers the mostly-duplicate corpus case
+        v = v.join(_maybe_broadcast(doomed, broadcast_ids), id_col, "left").withColumn(
             "__near", F.coalesce("__near", F.lit(False))
         )
     else:
@@ -103,7 +137,7 @@ def curation_verdicts(
             .filter(F.col("hit_grams") >= decontam_min_hits)
             .select(F.col("id").alias(id_col), F.lit(True).alias("__contam"))
         )
-        v = v.join(F.broadcast(flagged), id_col, "left").withColumn(
+        v = v.join(_maybe_broadcast(flagged, broadcast_ids), id_col, "left").withColumn(
             "__contam", F.coalesce("__contam", F.lit(False))
         )
     else:
@@ -153,6 +187,7 @@ def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     scrub: bool = False,
+    materialize: bool = False,
     **kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean corpus, report) — the one-call curation surface.
@@ -162,12 +197,25 @@ def curate(
     scraped/filtered/forwarded counters become at corpus scale).
     ``scrub=True`` additionally PII-scrubs the kept documents' text
     (operators.textstats.scrub_pii — a pure projection, applied only to
-    survivors so dropped rows never pay it). Cache the verdict frame
-    when collecting both outputs, or the corpus scans twice — curate()
-    does this for you and leaves the cache for the caller to release
-    (``spark.catalog.clearCache()``)."""
+    survivors so dropped rows never pay it).
+
+    Cache lifecycle — two modes:
+
+    - default (``materialize=False``): the verdict frame is cached so
+      collecting BOTH outputs scans the corpus once; the cache (and any
+      internal near-dedup caches) is the caller's to release
+      (``spark.catalog.clearCache()``) — right for one-shot batch jobs.
+    - ``materialize=True`` — the long-lived-daemon form: NOTHING is left
+      cached. The report (≤ 7 rows, one per outcome) is computed eagerly
+      and returned as a driver-local frame, near-dedup internals release
+      their caches as they finish, and ``clean`` stays a pure lazy plan
+      that re-derives verdicts at the caller's action — one extra corpus
+      scan traded for zero residual executor storage per tick."""
     text_col = kwargs.get("text_col", "text")
-    v = curation_verdicts(docs, benchmark, **kwargs).cache()
+    if materialize:
+        v = curation_verdicts(docs, benchmark, materialize=True, **kwargs)
+    else:
+        v = curation_verdicts(docs, benchmark, **kwargs).cache()
     clean = v.filter(F.col("kept")).drop("kept", "reason")
     if scrub:
         from beamium_spark.operators.textstats import scrub_pii
@@ -177,4 +225,7 @@ def curate(
         v.groupBy(F.coalesce("reason", F.lit("kept")).alias("outcome"))
         .agg(F.count("*").alias("n"))
     )
+    if materialize:
+        spark = docs.sparkSession
+        report = spark.createDataFrame(report.collect(), schema=report.schema)
     return clean, report

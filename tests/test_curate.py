@@ -123,3 +123,51 @@ def test_curate_scrub_flag(spark):
     rows = clean.collect()
     assert len(rows) == 1
     assert rows[0]["text"].endswith("mail <EMAIL>")
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_curate_materialize_leaves_no_cache(spark, corpus):
+    """materialize=True is the per-tick daemon form: identical outputs to
+    the default, with the SQL cache back at baseline (empty) immediately
+    after the call — including the near-dedup path, whose internal
+    signature/candidate/pair caches must all be released."""
+    docs, bench = corpus
+    spark.catalog.clearCache()
+    assert _sql_cache_empty(spark)
+
+    clean_d, report_d = curate(docs, bench)
+    want_clean = sorted(r["doc_id"] for r in clean_d.collect())
+    want_report = sorted((r["outcome"], r["n"]) for r in report_d.collect())
+    spark.catalog.clearCache()
+
+    clean_m, report_m = curate(docs, bench, materialize=True)
+    assert _sql_cache_empty(spark), "materialize=True left SQL cache entries"
+    assert sorted(r["doc_id"] for r in clean_m.collect()) == want_clean
+    assert sorted((r["outcome"], r["n"]) for r in report_m.collect()) == want_report
+    assert _sql_cache_empty(spark)
+
+
+def test_curate_materialize_near_dup_and_broadcast_off(spark):
+    """The hardened composition: near-dedup enabled, broadcast hints off
+    (mostly-duplicate corpus shape), materialize on — outputs match the
+    default path and no SQL cache survives the call."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then sits down "
+        "by the river to watch the long slow water pass in the evening"
+    )
+    rows = [(i, f"{base} tail {i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spark.catalog.clearCache()
+    clean_d, report_d = curate(docs, near_dup_threshold=0.8)
+    want = sorted(r["doc_id"] for r in clean_d.collect())
+    spark.catalog.clearCache()
+
+    clean_m, report_m = curate(
+        docs, near_dup_threshold=0.8, broadcast_ids=False, materialize=True
+    )
+    assert _sql_cache_empty(spark)
+    assert sorted(r["doc_id"] for r in clean_m.collect()) == want

@@ -227,3 +227,71 @@ def test_paragraph_rewrite_matches_bruteforce(spark):
                 kept.append(p)
         want[did] = ("\n\n".join(kept), len(paras), len(kept))
     assert got == want
+
+
+def test_minhash_high_dup_rate_without_broadcast(spark):
+    """A 90%-duplicate corpus (the fresh-crawl-snapshot case that would
+    overflow the candidate-id broadcast) must produce identical verified
+    pairs with broadcast_ids=False and the planner's auto-broadcast fully
+    disabled, and the adaptive int form must match too."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long familiar song about rivers and rain in the late evening"
+    )
+    # 10 distinct texts; 90 more docs repeat the first one → 90% dups
+    rows = [(i, f"{base} variant {i}") for i in range(10)]
+    rows += [(100 + i, base + " variant 0") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        want = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+        )
+        got_plain = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.8, broadcast_ids=False
+            ).collect()
+        )
+        # threshold of 5 ids: far exceeded here → takes the plain-join arm
+        got_adaptive = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.8, broadcast_ids=5
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # one-word variants of a ~25-word text sit at jaccard ≈ 0.92 ≥ 0.8, so
+    # ALL docs pair mutually: C(100,2) — the worst case for the id prune
+    assert len(want) == 100 * 99 // 2
+    assert got_plain == want
+    assert got_adaptive == want
+
+
+def test_pairs_materialize_releases_internal_caches(spark, docs):
+    """materialize=True: the returned pair frame is the ONLY cached object
+    left (caller-owned); releasing it returns storage to baseline. Both
+    LSH families, identical answers to the lazy form."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    want = sorted(
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    )
+    spark.catalog.clearCache()
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, materialize=True)
+    assert not cm.isEmpty()  # exactly the result cache
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == want
+    pairs.unpersist()
+    assert cm.isEmpty(), "internal caches survived materialize=True"
+
+    sim = simhash_pairs(docs, max_hamming=3, jaccard_verify=0.8, materialize=True)
+    sim.count()
+    sim.unpersist()
+    assert cm.isEmpty()

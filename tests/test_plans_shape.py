@@ -301,3 +301,39 @@ def test_hash_sampling_is_shuffle_free(spark):
     ):
         plan = _plan(df)
         assert "Exchange" not in plan, plan
+
+
+def test_verify_prune_shapes_both_ways(spark):
+    """The candidate-id prune must follow the broadcast_ids knob even with
+    the planner's auto-broadcast disabled: True → the hint forces a
+    BroadcastHashJoin LeftSemi (the sane-dup-rate shape); False → a
+    shuffled LeftSemi on the narrow id key (the mostly-duplicate-corpus
+    shape that can never blow the broadcast limit)."""
+    import re
+
+    from beamium_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        hinted = _formatted_plan(minhash_lsh_pairs(docs, threshold=0.8))
+        assert re.search(r"BroadcastHashJoin.*LeftSemi", hinted), hinted
+        plain = _formatted_plan(
+            minhash_lsh_pairs(docs, threshold=0.8, broadcast_ids=False)
+        )
+        semis = [
+            ln for ln in plain.splitlines() if "LeftSemi" in ln and "Join" in ln
+        ]
+        assert semis, plain
+        assert not any("Broadcast" in ln for ln in semis), semis
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
