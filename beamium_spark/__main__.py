@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         while args.max_ticks is None or ticks < args.max_ticks:
             report = daemon.run_once()
             report["retention"] = daemon.apply_retention(now_iso())
+            report["compaction"] = daemon.compact_if_needed()
             print(json.dumps(report, default=str), flush=True)
             ticks += 1
             if not args.daemon:
@@ -121,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     def one_pass() -> dict:
         report = job.run(max_chunks=args.max_chunks)
         report["retention"] = job.apply_retention(now_iso())
+        report["compaction"] = job.compact_if_needed()
         print(json.dumps(report, default=str), flush=True)
         return report
 
@@ -147,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
     while args.max_ticks is None or state["ticks"] < args.max_ticks:
         report = state["job"].run(max_chunks=args.max_chunks)
         report["retention"] = state["job"].apply_retention(now_iso())
+        report["compaction"] = state["job"].compact_if_needed()
         print(json.dumps(report, default=str), flush=True)
         state["ticks"] += 1
         time.sleep(conf.parameters.scan_period_s)

@@ -59,6 +59,9 @@ class ParametersConf:
     backoff_max_s: float = 60.0
     backoff_multiplier: float = 1.5
     backoff_randomization: float = 0.3
+    # per-tick incremental compaction trigger: chunks exceeding this many
+    # parquet files are rewritten after retention each tick (0 = off)
+    max_files_per_chunk: int = 8
 
 
 @dataclass
@@ -291,6 +294,7 @@ def load_conf(source) -> EngineConf:
         backoff_max_s=parse_duration_ms(bo.get("max", 60000)) / 1000.0,
         backoff_multiplier=float(bo.get("multiplier", 1.5)),
         backoff_randomization=float(bo.get("randomization", 0.3)),
+        max_files_per_chunk=int(p.get("max-files-per-chunk", 8)),
     )
     labels = labels_of(raw.get("labels", {}))
     labels.update(_env_labels())

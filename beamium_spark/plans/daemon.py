@@ -190,5 +190,19 @@ class ScrapeDaemon:
             out[sink.table] = r
         return out
 
+    def compact_if_needed(self) -> dict:
+        """Per-tick incremental compaction over every sink table: chunks
+        whose file count exceeds ``parameters.max_files_per_chunk`` are
+        rewritten (each tick's dynamic-overwrite/append leaves new files
+        per touched chunk — unbounded over a daemon's lifetime without
+        this). Returns {table: compact report} for tables that compacted."""
+        n = self.conf.parameters.max_files_per_chunk
+        out: dict = {}
+        for sink in self.conf.sinks:
+            r = self.store.compact_if_over(sink.table, n)
+            if r:
+                out[sink.table] = r
+        return out
+
     def record_reload(self) -> None:
         self.manifest.record_event(new_run_id(), "reload")

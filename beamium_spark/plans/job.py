@@ -58,6 +58,9 @@ class JobConf:
     drop_label_keys: list = field(default_factory=list)
     metric_whitelist: str | None = None
     write_blocks: bool = True
+    # per-tick incremental compaction: chunks exceeding this many parquet
+    # files get rewritten after retention (0 = off)
+    max_files_per_chunk: int = 8
     retention: dict = field(
         default_factory=lambda: {
             # 1m keeps 2 days, 1h keeps 2 weeks, 1d keeps forever;
@@ -327,6 +330,20 @@ class RollupJob:
                         self.store, table, pol.cap_bytes, size_expr=size_expr
                     )
                 )
+        return out
+
+    def compact_if_needed(self) -> dict:
+        """Per-tick incremental compaction over every retained table:
+        chunks exceeding ``conf.max_files_per_chunk`` parquet files are
+        rewritten (incremental passes and dirty-chunk replays leave new
+        files per touched chunk every tick; a long-lived job's file count
+        is otherwise unbounded, and file count — not bytes — is what
+        blows up listing/planning at 10^5+ chunks)."""
+        out: dict = {}
+        for table in self.conf.retention:
+            r = self.store.compact_if_over(table, self.conf.max_files_per_chunk)
+            if r:
+                out[table] = r
         return out
 
     # ---- readback --------------------------------------------------------

@@ -18,14 +18,24 @@ plain parquet directories:
   src/sink.rs:101-146);
 - predicate deletes rewrite only affected partitions.
 
+Every maintenance path (listing, TTL unlink, rewrite swap, compaction
+file counts) goes through the **Hadoop FileSystem API** resolved from
+the root URI — NOT ``os``/``shutil`` — so the store works wherever the
+executors' Spark writes do: a bare path resolves against the cluster's
+default filesystem (local file:// on a laptop, HDFS on a cluster), and
+``file:``/``hdfs:``/``s3a:`` roots route to their scheme's
+implementation. A driver-local POSIX view of the store is never
+assumed. (Caveat: the unpartitioned-table rewrite in ``delete_where``
+uses delete-then-rename, which is atomic on HDFS/POSIX but
+copy-based on S3-style stores — partitioned tables, the production
+layout, never take that path.)
+
 ``IcebergTierStore`` carries the spark.jars.packages recipe but raises
 cleanly when the runtime is absent.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,18 +50,42 @@ class ParquetTierStore:
         # (/root/reference/src/conf.rs:125-126): production files are sized
         # deterministically, not by partition luck.
         self.spark = spark
-        self.root = root
+        self.root = root.rstrip("/")
         self.max_records_per_file = max_records_per_file
-        os.makedirs(root, exist_ok=True)
+        fs, p = self._fs_path(self.root)
+        fs.mkdirs(p)
+
+    # -- Hadoop FileSystem plumbing (control plane only: listings and
+    # directory ops are per-chunk, never per-row) -------------------------
+
+    def _fs_path(self, path_str: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, p
+
+    def _ls(self, path_str: str) -> list[tuple[str, bool]]:
+        """[(child name, is_dir)] of the direct children; [] if absent."""
+        fs, p = self._fs_path(path_str)
+        if not fs.exists(p):
+            return []
+        return [
+            (st.getPath().getName(), st.isDirectory()) for st in fs.listStatus(p)
+        ]
+
+    def _delete(self, path_str: str) -> bool:
+        fs, p = self._fs_path(path_str)
+        return bool(fs.exists(p)) and bool(fs.delete(p, True))
 
     def path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return f"{self.root}/{table}"
 
     def exists(self, table: str) -> bool:
-        p = self.path(table)
-        return os.path.isdir(p) and any(
-            f.startswith("chunk_key=") or f.endswith(".parquet") or f == "_SUCCESS"
-            for f in os.listdir(p)
+        return any(
+            name.startswith("chunk_key=")
+            or name.endswith(".parquet")
+            or name == "_SUCCESS"
+            for name, _ in self._ls(self.path(table))
         )
 
     def read(self, table: str) -> DataFrame:
@@ -122,11 +156,13 @@ class ParquetTierStore:
         whole-file deletes the same way.)"""
         p = self.path(table)
         removed = 0
-        if not os.path.isdir(p):
-            return 0
-        for d in sorted(os.listdir(p)):
-            if d.startswith("chunk_key=") and d.split("=", 1)[1][:10] < cutoff_date:
-                shutil.rmtree(os.path.join(p, d))
+        for d, is_dir in sorted(self._ls(p)):
+            if (
+                is_dir
+                and d.startswith("chunk_key=")
+                and d.split("=", 1)[1][:10] < cutoff_date
+            ):
+                self._delete(f"{p}/{d}")
                 removed += 1
         return removed
 
@@ -148,8 +184,14 @@ class ParquetTierStore:
                 tmp = self.path(table) + ".rewrite"
                 kept.write.mode("overwrite").parquet(tmp)
                 kept.unpersist()
-                shutil.rmtree(self.path(table))
-                os.rename(tmp, self.path(table))
+                fs, dst = self._fs_path(self.path(table))
+                fs.delete(dst, True)
+                _, src = self._fs_path(tmp)
+                if not fs.rename(src, dst):
+                    raise IOError(
+                        f"rename {tmp} -> {self.path(table)} failed on "
+                        f"{fs.getUri()}"
+                    )
             return n
         doomed = df.filter(predicate)
         # tiny: one chunk_key per hour of retention boundary
@@ -169,17 +211,15 @@ class ParquetTierStore:
             ).partitionBy("chunk_key").parquet(self.path(table))
         affected.unpersist()
         for key in set(hit_keys) - keep_keys:
-            p = os.path.join(self.path(table), f"chunk_key={key}")
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            self._delete(f"{self.path(table)}/chunk_key={key}")
         # deleting the last partition leaves no data: drop stray root markers
         # (_SUCCESS etc.) so exists() reports the table as absent
         root = self.path(table)
-        if not any(e.startswith("chunk_key=") for e in os.listdir(root)):
-            for e in os.listdir(root):
-                fp = os.path.join(root, e)
-                if os.path.isfile(fp):
-                    os.remove(fp)
+        entries = self._ls(root)
+        if not any(e.startswith("chunk_key=") for e, _ in entries):
+            for e, is_dir in entries:
+                if not is_dir:
+                    self._delete(f"{root}/{e}")
         return n
 
     def compact_chunks(self, table: str, chunks: list[str] | None = None) -> dict:
@@ -202,12 +242,14 @@ class ParquetTierStore:
 
         def _count_files(keys):
             n = 0
-            for d in os.listdir(root):
-                if d.startswith("chunk_key=") and (
-                    keys is None or d.split("=", 1)[1] in keys
+            for d, is_dir in self._ls(root):
+                if (
+                    is_dir
+                    and d.startswith("chunk_key=")
+                    and (keys is None or d.split("=", 1)[1] in keys)
                 ):
                     n += sum(
-                        1 for f in os.listdir(os.path.join(root, d))
+                        1 for f, _ in self._ls(f"{root}/{d}")
                         if f.endswith(".parquet")
                     )
             return n
@@ -233,28 +275,44 @@ class ParquetTierStore:
             df.unpersist()
         after = _count_files(keys)
         n_chunks = len(keys) if keys is not None else sum(
-            1 for d in os.listdir(root) if d.startswith("chunk_key=")
+            1 for d, _ in self._ls(root) if d.startswith("chunk_key=")
         )
         return {"files_before": before, "files_after": after, "chunks": n_chunks}
+
+    def compact_if_over(self, table: str, max_files_per_chunk: int) -> dict:
+        """Incremental compaction trigger — the per-tick daemon form:
+        compact exactly the chunks whose parquet file count exceeds the
+        threshold (every incremental pass / dirty-chunk replay / streaming
+        epoch leaves ≥1 new file per touched chunk, so a long-lived store
+        grows files without bound unless something bounds them). One
+        listing decides; untouched chunks are never read. ``<= 0``
+        disables. Returns {} when nothing qualifies, else
+        ``compact_chunks``'s report."""
+        if max_files_per_chunk <= 0 or not self.exists(table):
+            return {}
+        over = [
+            k
+            for k, v in self.chunk_file_counts(table).items()
+            if v > max_files_per_chunk
+        ]
+        if not over:
+            return {}
+        return self.compact_chunks(table, chunks=over)
 
     def chunk_file_counts(self, table: str) -> dict[str, int]:
         """chunk_key → parquet file count (the compaction trigger metric)."""
         root = self.path(table)
         out: dict[str, int] = {}
-        if not os.path.isdir(root):
-            return out
-        for d in os.listdir(root):
-            if d.startswith("chunk_key="):
+        for d, is_dir in self._ls(root):
+            if is_dir and d.startswith("chunk_key="):
                 out[d.split("=", 1)[1]] = sum(
-                    1 for f in os.listdir(os.path.join(root, d))
+                    1 for f, _ in self._ls(f"{root}/{d}")
                     if f.endswith(".parquet")
                 )
         return out
 
     def drop(self, table: str) -> None:
-        p = self.path(table)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        self._delete(self.path(table))
 
 
 class IcebergTierStore:

@@ -98,3 +98,32 @@ def test_daemon_late_lines_replay_dirty_chunk(spark, daemon, tmp_path):
     # the sink now holds the late point too
     got = daemon.store.read("all_metrics")
     assert got.filter(F.col("metric") == "mem_used").count() == 3
+
+
+def test_daemon_compaction_bounds_file_counts(spark, daemon, tmp_path):
+    """≥10 ticks of small appends into one hot chunk: with the per-tick
+    compaction trigger, no chunk's parquet file count may exceed the
+    configured max — the long-lived-store guarantee a streaming/daemon
+    deployment needs (without it, each tick leaves at least one new file
+    per touched chunk forever)."""
+    daemon.conf.parameters.max_files_per_chunk = 3
+    daemon.run_once()
+    # 10 ticks, each appending a tiny new file into the same hot chunk of
+    # both sinks (simulating per-epoch sink writes)
+    hot = daemon.store.read("all_metrics").limit(1).cache()
+    hot.count()
+    for tick in range(10):
+        for table in ("all_metrics", "cpu_only"):
+            hot.write.mode("append").partitionBy("chunk_key").parquet(
+                daemon.store.path(table)
+            )
+        report = daemon.compact_if_needed()
+        for table in ("all_metrics", "cpu_only"):
+            counts = daemon.store.chunk_file_counts(table)
+            assert counts, f"{table} vanished at tick {tick}"
+            assert max(counts.values()) <= 3, (
+                f"tick {tick}: {table} chunk exceeded file cap: {counts}"
+            )
+    hot.unpersist()
+    # and the data survived every compaction pass
+    assert daemon.store.read("all_metrics").count() > 0

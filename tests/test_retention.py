@@ -154,3 +154,58 @@ def test_compact_chunks_subset_only_touches_named(spark, tmp_path):
     counts = store.chunk_file_counts("t")
     assert counts["2025-01-01-00"] == 1
     assert counts["2025-01-01-01"] == 3  # untouched
+
+
+def test_store_maintenance_on_file_uri_root(spark, tmp_path):
+    """The full maintenance contract against a ``file:``-URI root — the
+    shape a non-POSIX object store presents: every listing/unlink/rewrite
+    must route through the Hadoop FileSystem resolved from the URI, never
+    the driver's os/shutil view. Mirrors the POSIX-path tests above:
+    write → TTL partition drop → row-level delete (incl. emptied-partition
+    unlink) → compaction → drop."""
+    import datetime as dt
+
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    root = "file://" + str(tmp_path / "uri_store")
+    store = ParquetTierStore(spark, root)
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (0, "m", t0 + dt.timedelta(days=d, hours=h), t0 + dt.timedelta(days=d, hours=h), 1.0)
+        for d in range(3)
+        for h in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "bucket int, metric string, window_start timestamp, "
+        "chunk_start timestamp, value double",
+    )
+    store.write_chunks(df, "t")
+    assert store.exists("t")
+    assert store.read("t").count() == 6
+    assert len(store.chunk_file_counts("t")) == 6
+
+    # TTL: drop day-0 partitions (2 chunks)
+    assert store.drop_partitions_older_than("t", "2025-01-02") == 2
+    assert store.read("t").count() == 4
+
+    # row-level delete that empties one partition and trims another
+    n = store.delete_where(
+        "t", F.col("window_start") < dt.datetime(2025, 1, 2, 1)
+    )
+    assert n == 1
+    assert store.read("t").count() == 3
+    assert "2025-01-02-00" not in store.chunk_file_counts("t")
+
+    # compaction: append small files then merge to one per chunk
+    extra = df.filter(F.col("chunk_start") >= dt.datetime(2025, 1, 3)).withColumn(
+        "chunk_key", F.date_format("chunk_start", "yyyy-MM-dd-HH")
+    )
+    for _ in range(2):
+        extra.write.mode("append").partitionBy("chunk_key").parquet(store.path("t"))
+    out = store.compact_chunks("t")
+    assert out["files_after"] < out["files_before"]
+    assert all(v == 1 for v in store.chunk_file_counts("t").values())
+
+    store.drop("t")
+    assert not store.exists("t")
