@@ -22,7 +22,15 @@ read path:
    k-step moving average (PromQL ``avg_over_time``) and ``rate``
    replaces the value with a per-second derivative (PromQL
    ``rate``/``delta``) — both post-aggregation per-series window passes
-   over the already-tiny re-rolled slice.
+   over the already-tiny re-rolled slice;
+5. **non-decomposable stats**: ``stat='p95'`` answers percentile reads.
+   Percentiles cannot re-roll from (cnt, sum, min, max) tuples
+   (operators/rollup.py's non-decomposability note), so the read path
+   RECOMPUTES from the raw-fidelity Gorilla block store: the requested
+   range prunes to its ``chunk_key`` partitions, only those blocks
+   decode (one Arrow pass), and one hash-agg yields exact interpolated
+   percentiles at the step grid — raw fidelity at tier-read cost for
+   bounded ranges.
 """
 
 from __future__ import annotations
@@ -67,6 +75,8 @@ def query(
     bucket: int | None = None,
     smooth: int | None = None,
     rate: bool | str = False,
+    stat: str | None = None,
+    blocks_table: str = "blocks",
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
 
@@ -77,6 +87,13 @@ def query(
     True for per-second delta of ``value``, ``'counter'`` for
     counter-reset semantics (negative delta → the new value is the
     increase). ``smooth`` and ``rate`` are mutually exclusive.
+
+    ``stat='pNN[.N]'`` (e.g. 'p95') switches the value to an exact
+    interpolated percentile recomputed from the raw-fidelity block store
+    (``blocks_table``), chunk-pruned to the range — decomposable tier
+    tuples can't answer it. ``agg`` is ignored on that path; ``fill``
+    is rejected (a zero/carried percentile is not a percentile);
+    ``smooth``/``rate`` compose as usual.
     """
     if smooth is not None and rate:
         raise ValueError("smooth and rate are mutually exclusive")
@@ -89,6 +106,46 @@ def query(
     if isinstance(end, str):
         end = dt.datetime.fromisoformat(end)
     step_s = parse_step(step)
+
+    if stat is not None:
+        import re as _re
+
+        m = _re.fullmatch(r"p(\d{1,2}(?:\.\d+)?)", stat)
+        if not m:
+            raise ValueError(f"stat must look like 'p95', got {stat!r}")
+        if fill is not None:
+            raise ValueError("fill is not supported with percentile stats")
+        if not store.exists(blocks_table):
+            raise ValueError(
+                f"percentile read needs the raw block store "
+                f"('{blocks_table}' table absent)"
+            )
+        from beamium_spark.operators.blocks import decode_blocks
+
+        qfrac = float(m.group(1)) / 100.0
+        b = store.read(blocks_table)
+        if "chunk_key" in b.columns:
+            lo = start.strftime("%Y-%m-%d-%H")
+            hi = end.strftime("%Y-%m-%d-%H")
+            b = b.filter((F.col("chunk_key") >= lo) & (F.col("chunk_key") <= hi))
+        # metric/bucket prune BEFORE decode: clustered sorted runs put
+        # file/row-group stats on (bucket, metric), so unmatched blocks
+        # never reach the Arrow boundary
+        b = b.filter(F.col("metric").rlike(f"^(?:{metric})$"))
+        if bucket is not None:
+            b = b.filter(F.col("bucket") == bucket)
+        pts = decode_blocks(b).filter(
+            (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        )
+        out = (
+            pts.groupBy("bucket", "metric", F.window("ts", f"{step_s} seconds").alias("w"))
+            .agg(F.expr(f"percentile(value, {qfrac!r})").alias("value"))
+            .select(
+                "bucket", "metric", F.col("w.start").alias("window_start"), "value"
+            )
+        )
+        return _shape(out, smooth, rate, step_s)
+
     tier_name, _tier_s = select_tier(store, step_s)
 
     t = store.read(tier_name)
@@ -141,25 +198,28 @@ def query(
     cols = ["bucket", "metric", "window_start", value.alias("value")]
     if fill is not None:
         cols.append("filled")
-    out = re_rolled.select(*cols)
-    if smooth is not None or rate:
-        # per-series window over the re-rolled slice: rows per series are
-        # bounded by (end - start) / step — the tier_rate safety argument
-        from pyspark.sql import Window
+    return _shape(re_rolled.select(*cols), smooth, rate, step_s)
 
-        w = Window.partitionBy("bucket", "metric").orderBy("window_start")
-        if smooth is not None:
-            out = out.withColumn(
-                "value",
-                F.avg("value").over(w.rowsBetween(-(smooth - 1), 0)),
-            )
-        else:
-            prev = F.lag("value").over(w)
-            raw_delta = F.col("value") - prev
-            delta = (
-                F.when(raw_delta < 0, F.col("value")).otherwise(raw_delta)
-                if rate == "counter"
-                else raw_delta
-            )
-            out = out.withColumn("value", delta / F.lit(float(step_s)))
-    return out
+
+def _shape(out: DataFrame, smooth: int | None, rate: bool | str, step_s: int) -> DataFrame:
+    """Post-aggregation smoothing / rate derivation shared by the tier and
+    percentile read paths — per-series window passes over the re-rolled
+    slice, whose rows per series are bounded by (end - start) / step (the
+    tier_rate safety argument)."""
+    if smooth is None and not rate:
+        return out
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    if smooth is not None:
+        return out.withColumn(
+            "value", F.avg("value").over(w.rowsBetween(-(smooth - 1), 0))
+        )
+    prev = F.lag("value").over(w)
+    raw_delta = F.col("value") - prev
+    delta = (
+        F.when(raw_delta < 0, F.col("value")).otherwise(raw_delta)
+        if rate == "counter"
+        else raw_delta
+    )
+    return out.withColumn("value", delta / F.lit(float(step_s)))

@@ -141,3 +141,49 @@ def test_query_smooth_rate_exclusive_and_validation(store):
         query(store, "doc_count", "2025-01-01", "2025-01-02", smooth=0)
     with _pytest.raises(ValueError, match="rate must be"):
         query(store, "doc_count", "2025-01-01", "2025-01-02", rate="bogus")
+
+
+def test_query_percentile_from_blocks(spark, store, tmp_path):
+    """stat='p95' recomputes from the raw block store: exact interpolated
+    percentile per step window, equal to computing straight from points;
+    validation rejects malformed stats, fill, and a missing block table."""
+    import numpy as np
+
+    from beamium_spark.operators.blocks import encode_blocks
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (0, "lat", t0 + dt.timedelta(minutes=m, seconds=s), float(m * 60 + s))
+        for m in range(0, 120, 3)
+        for s in (0, 30)
+    ]
+    pts = spark.createDataFrame(rows, "bucket int, metric string, ts timestamp, value double")
+    store.write_chunks(encode_blocks(pts, "1 hour"), "blocks")
+
+    out = query(
+        store, "lat", t0, t0 + dt.timedelta(hours=2), step="1 hour", stat="p95"
+    )
+    got = {r["window_start"]: r["value"] for r in out.collect()}
+    assert len(got) == 2
+    for h, want_vals in (
+        (0, [v for _, _, ts, v in rows if ts < t0 + dt.timedelta(hours=1)]),
+        (1, [v for _, _, ts, v in rows if ts >= t0 + dt.timedelta(hours=1)]),
+    ):
+        want = float(np.percentile(np.array(want_vals), 95, method="linear"))
+        assert got[t0 + dt.timedelta(hours=h)] == pytest.approx(want, rel=1e-12)
+
+    # smooth composes on the percentile series
+    sm = query(
+        store, "lat", t0, t0 + dt.timedelta(hours=2), step="1 hour",
+        stat="p95", smooth=2,
+    ).orderBy("window_start").collect()
+    vals = sorted(got.items())
+    assert sm[1]["value"] == pytest.approx((vals[0][1] + vals[1][1]) / 2)
+
+    with pytest.raises(ValueError, match="stat"):
+        query(store, "lat", t0, t0 + dt.timedelta(hours=1), stat="q95")
+    with pytest.raises(ValueError, match="fill"):
+        query(store, "lat", t0, t0 + dt.timedelta(hours=1), stat="p95", fill="zero")
+    with pytest.raises(ValueError, match="block store"):
+        query(store, "lat", t0, t0 + dt.timedelta(hours=1), stat="p95",
+              blocks_table="nope")
