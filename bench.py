@@ -45,6 +45,22 @@ QUERY_NAMES = [
     "embedding_near_dup_lsh",
 ]
 
+# regression tripwire: committed round-4 min-of-3 per query at the
+# reference conditions (sf0.1, 300M bench points, 32 cpus). A query whose
+# current min exceeds 2× its committed min (+0.5s absolute grace for the
+# sub-second entries, where 2× sits inside scheduler jitter) fails the
+# bench with non-zero rc — a real regression signal that doesn't
+# re-litigate the ±20% suite noise.
+REFERENCE_MINS = {
+    "points_cascade": 4.675,
+    "tier_cascade": 5.783,
+    "gapfill_zero_1m": 2.674,
+    "block_encode": 6.326,
+    "events_rollup_1m": 0.519,
+    "dedup_minhash_lsh": 1.575,
+    "embedding_near_dup_lsh": 3.792,
+}
+
 
 def _build_queries(spark, sf_dir: str, cpus: int):
     """name -> (callable, needs_pages). Shared context built lazily."""
@@ -224,6 +240,19 @@ def main() -> None:
     docs_per_sec = round(n_docs / timings["tier_cascade"], 1)
     points_per_sec = round(n_points / timings["points_cascade"], 1)
 
+    at_reference = sf == 0.1 and cpus == 32 and n_points == 300_000_000
+    if not at_reference:
+        regression_check = "skipped (non-reference sf/cpus/points)"
+        rc = 0
+    else:
+        tripped = [
+            f"{name}: {timings[name]}s > 2x committed {ref}s"
+            for name, ref in REFERENCE_MINS.items()
+            if name in timings and timings[name] > 2 * ref + 0.5
+        ]
+        regression_check = "pass" if not tripped else "fail: " + "; ".join(tripped)
+        rc = 0 if not tripped else 1
+
     print(
         json.dumps(
             {
@@ -241,9 +270,12 @@ def main() -> None:
                 "bench_points": n_points,
                 "points_per_sec": points_per_sec,
                 "parallelism": cpus,
+                "regression_check": regression_check,
             }
         )
     )
+    if rc:
+        sys.exit(rc)
 
 
 if __name__ == "__main__":
