@@ -64,6 +64,33 @@ def select_tier(store, step_seconds: int) -> tuple[str, int]:
     raise ValueError("no stored tier divides the requested step")
 
 
+def _blocks_points(
+    store, blocks_table: str, metric: str, start, end, bucket: int | None
+) -> DataFrame:
+    """Chunk-pruned decode of the raw-fidelity block store to typed points
+    — the shared source of the non-decomposable read paths. metric/bucket
+    prune BEFORE decode: clustered sorted runs put file/row-group stats on
+    (bucket, metric), so unmatched blocks never reach the Arrow boundary."""
+    if not store.exists(blocks_table):
+        raise ValueError(
+            f"raw-points read needs the block store "
+            f"('{blocks_table}' table absent)"
+        )
+    from beamium_spark.operators.blocks import decode_blocks
+
+    b = store.read(blocks_table)
+    if "chunk_key" in b.columns:
+        lo = start.strftime("%Y-%m-%d-%H")
+        hi = end.strftime("%Y-%m-%d-%H")
+        b = b.filter((F.col("chunk_key") >= lo) & (F.col("chunk_key") <= hi))
+    b = b.filter(F.col("metric").rlike(f"^(?:{metric})$"))
+    if bucket is not None:
+        b = b.filter(F.col("bucket") == bucket)
+    return decode_blocks(b).filter(
+        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+    )
+
+
 def query(
     store,
     metric: str,
@@ -76,6 +103,7 @@ def query(
     smooth: int | None = None,
     rate: bool | str = False,
     stat: str | None = None,
+    session_gap: str | None = None,
     blocks_table: str = "blocks",
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
@@ -94,6 +122,13 @@ def query(
     tuples can't answer it. ``agg`` is ignored on that path; ``fill``
     is rejected (a zero/carried percentile is not a percentile);
     ``smooth``/``rate`` compose as usual.
+
+    ``session_gap='5 minutes'`` answers SESSION reads the same way:
+    activity bursts recomputed from the chunk-pruned block store via
+    ``session_rollup`` (gap merging cannot re-roll from fixed-grid tier
+    rows whose real point times were truncated). Returns (bucket,
+    metric, session_start, session_end, cnt, sum_value); step/agg/fill/
+    smooth/rate/stat do not apply and are rejected if combined.
     """
     if smooth is not None and rate:
         raise ValueError("smooth and rate are mutually exclusive")
@@ -107,6 +142,16 @@ def query(
         end = dt.datetime.fromisoformat(end)
     step_s = parse_step(step)
 
+    if session_gap is not None:
+        if stat is not None or fill is not None or smooth is not None or rate:
+            raise ValueError(
+                "session_gap is exclusive with stat/fill/smooth/rate"
+            )
+        from beamium_spark.operators.rollup import session_rollup
+
+        pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
+        return session_rollup(pts, gap=session_gap)
+
     if stat is not None:
         import re as _re
 
@@ -115,28 +160,8 @@ def query(
             raise ValueError(f"stat must look like 'p95', got {stat!r}")
         if fill is not None:
             raise ValueError("fill is not supported with percentile stats")
-        if not store.exists(blocks_table):
-            raise ValueError(
-                f"percentile read needs the raw block store "
-                f"('{blocks_table}' table absent)"
-            )
-        from beamium_spark.operators.blocks import decode_blocks
-
         qfrac = float(m.group(1)) / 100.0
-        b = store.read(blocks_table)
-        if "chunk_key" in b.columns:
-            lo = start.strftime("%Y-%m-%d-%H")
-            hi = end.strftime("%Y-%m-%d-%H")
-            b = b.filter((F.col("chunk_key") >= lo) & (F.col("chunk_key") <= hi))
-        # metric/bucket prune BEFORE decode: clustered sorted runs put
-        # file/row-group stats on (bucket, metric), so unmatched blocks
-        # never reach the Arrow boundary
-        b = b.filter(F.col("metric").rlike(f"^(?:{metric})$"))
-        if bucket is not None:
-            b = b.filter(F.col("bucket") == bucket)
-        pts = decode_blocks(b).filter(
-            (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
-        )
+        pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
         out = (
             pts.groupBy("bucket", "metric", F.window("ts", f"{step_s} seconds").alias("w"))
             .agg(F.expr(f"percentile(value, {qfrac!r})").alias("value"))

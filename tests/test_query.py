@@ -187,3 +187,38 @@ def test_query_percentile_from_blocks(spark, store, tmp_path):
     with pytest.raises(ValueError, match="block store"):
         query(store, "lat", t0, t0 + dt.timedelta(hours=1), stat="p95",
               blocks_table="nope")
+
+
+def test_query_session_read_from_blocks(spark, store):
+    """session_gap recomputes activity bursts from the block store:
+    equals session_rollup straight from the points, and rejects
+    combination with the grid-shaping knobs."""
+    from beamium_spark.operators.blocks import encode_blocks
+    from beamium_spark.operators.rollup import session_rollup
+
+    t0 = dt.datetime(2025, 1, 1)
+    # two bursts separated by 30 minutes of silence
+    rows = [(0, "act", t0 + dt.timedelta(minutes=m), 1.0) for m in range(5)]
+    rows += [(0, "act", t0 + dt.timedelta(minutes=35 + m), 2.0) for m in range(3)]
+    pts = spark.createDataFrame(rows, "bucket int, metric string, ts timestamp, value double")
+    store.write_chunks(encode_blocks(pts, "1 hour"), "blocks")
+
+    out = sorted(
+        query(
+            store, "act", t0, t0 + dt.timedelta(hours=2), session_gap="5 minutes"
+        ).collect(),
+        key=lambda r: r["session_start"],
+    )
+    want = sorted(
+        session_rollup(pts, gap="5 minutes").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in want]
+    assert [(r["cnt"], r["sum_value"]) for r in out] == [(5, 5.0), (3, 6.0)]
+
+    with pytest.raises(ValueError, match="exclusive"):
+        query(store, "act", t0, t0 + dt.timedelta(hours=1),
+              session_gap="5 minutes", stat="p95")
+    with pytest.raises(ValueError, match="exclusive"):
+        query(store, "act", t0, t0 + dt.timedelta(hours=1),
+              session_gap="5 minutes", smooth=2)
