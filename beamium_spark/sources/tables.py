@@ -373,6 +373,51 @@ class IcebergTierStore:
         else:
             df.writeTo(self._t(table)).create()
 
+    def overwrite_partition(self, df: DataFrame, table: str, part_col: str) -> None:  # pragma: no cover
+        """The epoch-fencing primitive (streaming sink): replace exactly
+        the ``part_col`` partitions present in ``df`` — Iceberg's
+        overwritePartitions is snapshot-isolated, so a torn replay is
+        all-or-nothing rather than best-effort."""
+        if self.exists(table):
+            df.writeTo(self._t(table)).overwritePartitions()
+        else:
+            df.writeTo(self._t(table)).partitionedBy(F.col(part_col)).create()
+
+    def chunk_file_counts(self, table: str) -> dict[str, int]:  # pragma: no cover
+        """chunk_key → data-file count from the ``.files`` metadata table
+        (no data read — the compaction trigger stays metadata-only)."""
+        if not self.exists(table):
+            return {}
+        rows = self.spark.sql(
+            f"SELECT partition.chunk_key AS k, count(*) AS n "
+            f"FROM {self._t(table)}.files GROUP BY partition.chunk_key"
+        ).collect()
+        return {r["k"]: r["n"] for r in rows}
+
+    def compact_if_over(self, table: str, max_files_per_chunk: int) -> dict:  # pragma: no cover
+        """Incremental compaction trigger — same contract as the parquet
+        store: rewrite exactly the chunks whose file count exceeds the
+        threshold, via a snapshot-isolated overwritePartitions of their
+        own rows. (On a cluster with the Iceberg procedures catalog,
+        ``CALL rewrite_data_files(where => ...)`` is the engine-side
+        equivalent.)"""
+        if max_files_per_chunk <= 0 or not self.exists(table):
+            return {}
+        counts = self.chunk_file_counts(table)
+        over = [k for k, v in counts.items() if v > max_files_per_chunk]
+        if not over:
+            return {}
+        before = sum(counts[k] for k in over)
+        df = self.read(table)
+        hit = df.filter(F.col("chunk_key").isin(over))
+        hit.writeTo(self._t(table)).overwritePartitions()
+        after_counts = self.chunk_file_counts(table)
+        return {
+            "files_before": before,
+            "files_after": sum(after_counts.get(k, 0) for k in over),
+            "chunks": len(over),
+        }
+
     def drop_partitions_older_than(self, table: str, cutoff_date: str) -> int:  # pragma: no cover
         if not self.exists(table):
             return 0

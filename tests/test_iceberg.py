@@ -96,3 +96,35 @@ def test_ttl_and_row_trim(ice_spark, store):
     # row-level trim via delete_where directly
     n = store.delete_where("tier", F.col("bucket") == 0)
     assert n == len(left) and store.read("tier").count() == 0
+
+
+def test_epoch_fence_and_compaction_trigger(ice_spark, store):
+    """The streaming-sink and daemon contract methods on the Iceberg
+    path: overwrite_partition replaces exactly the epoch partitions
+    present in the frame (snapshot-isolated), chunk_file_counts reads the
+    .files metadata table only, and compact_if_over rewrites exactly the
+    over-threshold chunks."""
+    from pyspark.sql import functions as F
+
+    df = _tier_rows(ice_spark, [0, 1]).withColumn(
+        "chunk_key", F.date_format("chunk_start", "yyyy-MM-dd-HH")
+    )
+    store.overwrite_partition(df, "tier", "chunk_key")
+    assert store.read("tier").count() == 2
+    # torn replay of one partition, then full redelivery → unchanged
+    store.overwrite_partition(df.filter(F.col("bucket") < 0).unionByName(
+        df.limit(1)
+    ), "tier", "chunk_key")
+    store.overwrite_partition(df, "tier", "chunk_key")
+    assert store.read("tier").count() == 2
+
+    # pile small appends into one chunk, then trigger compaction
+    one = df.limit(1)
+    for _ in range(4):
+        store.append(one, "tier")
+    counts = store.chunk_file_counts("tier")
+    assert max(counts.values()) >= 4
+    out = store.compact_if_over("tier", 2)
+    assert out["chunks"] >= 1 and out["files_after"] <= out["files_before"]
+    assert max(store.chunk_file_counts("tier").values()) <= 2
+    assert store.read("tier").count() == 6
