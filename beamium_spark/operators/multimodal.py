@@ -79,6 +79,32 @@ def fake_decode(payload: bytes, h: int = 8, w: int = 8, c: int = 3) -> np.ndarra
     return rng.random((h, w, c), dtype=np.float32)
 
 
+def sha_decode(payload: bytes, h: int = 8, w: int = 8, c: int = 1) -> np.ndarray:
+    """Engine-neutral deterministic decoder: pixel bytes are chained
+    sha256 digests of the payload (d1 = sha256(payload); d_{k+1} =
+    sha256(hex(d_k)) — the chain stays in hex-string domain because
+    SQL engines' sha256 is VARCHAR→hex), value = byte/256.
+
+    byte/256 is EXACTLY representable in float32 (and double), so a SQL
+    oracle recomputing the same bytes compares floats without rounding
+    tolerance — this is the decoder the correctness gate routes
+    :func:`extract_features` through to value-check the mapInPandas
+    boundary end-to-end (fake_decode's PCG64 stream is not
+    SQL-reproducible)."""
+    n = h * w * c
+    if not payload:
+        return np.zeros((h, w, c), dtype=np.float32)
+    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+    hexes: list[str] = []
+    d = hashlib.sha256(data).hexdigest()
+    while len(hexes) * 32 < n:
+        hexes.append(d)
+        d = hashlib.sha256(d.encode()).hexdigest()
+    buf = bytes.fromhex("".join(hexes))[:n]
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float32) / np.float32(256.0)
+    return arr.reshape(h, w, c)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "html",
@@ -86,14 +112,21 @@ def extract_features(
     h: int = 8,
     w: int = 8,
     use_real_decoder: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """binary column → fixed-shape feature vectors via mapInPandas.
 
     Output: (id, feat: array<float>, feat_norm: double). Batches stream
     through Arrow; per-batch numpy, no per-row Python beyond the decode
     call itself (which is the library boundary in production too).
+
+    ``decoder`` overrides the decode callable (signature
+    ``(payload, h, w) -> ndarray(h, w, c)``); default is
+    :func:`fake_decode`, or :func:`decode_image` when
+    ``use_real_decoder`` is set.
     """
-    decoder = decode_image if use_real_decoder else fake_decode
+    if decoder is None:
+        decoder = decode_image if use_real_decoder else fake_decode
 
     def _extract(batches):
         for pdf in batches:

@@ -338,6 +338,64 @@ def tier_moving_agg(
     return out
 
 
+def tier_anomalies(
+    tier: DataFrame,
+    k: int = 20,
+    value_col: str = "sum_value",
+    threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over a tier series — the alerting
+    read the reference's consumers (Warp10 alert scripts over forwarded
+    series, /root/reference/README.md:17-24) run downstream; here it is
+    a first-class operator over the continuous aggregate.
+
+    For each (bucket, metric) series ordered by window_start, the
+    baseline is the TRAILING ``k`` rows strictly BEFORE the current row
+    (``ROWS BETWEEN k PRECEDING AND 1 PRECEDING``) — excluding the
+    tested point itself so a spike cannot mask its own deviation.
+    Emits ``base_avg``, ``base_std`` (sample stddev), ``base_n``,
+    ``zscore`` and ``is_anomaly``; ``zscore`` is NULL (and the row never
+    anomalous) until ``min_points`` baseline rows exist or when the
+    baseline is constant (std = 0 would divide by zero — a constant
+    baseline instead flags any departure via the std>0 guard being
+    false, the conservative choice for booting series).
+
+    Scale: one per-series sort window, identical shape to
+    :func:`tier_moving_agg` — tier rows per series are bounded by
+    time span / window size, so frames stay small at any corpus size,
+    and the window partitioning reuses the tier's (bucket, metric)
+    shuffle when chained after :func:`rollup_tier`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2 (stddev needs it), got {min_points}")
+    w = (
+        Window.partitionBy("bucket", "metric")
+        .orderBy("window_start")
+        .rowsBetween(-k, -1)
+    )
+    x = F.col(value_col).cast("double")
+    out = (
+        tier.withColumn("base_avg", F.avg(x).over(w))
+        .withColumn("base_std", F.stddev_samp(x).over(w))
+        .withColumn("base_n", F.count(x).over(w))
+        .withColumn(
+            "zscore",
+            F.when(
+                (F.col("base_n") >= min_points) & (F.col("base_std") > 0),
+                (x - F.col("base_avg")) / F.col("base_std"),
+            ),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
+        )
+    )
+    return out
+
+
 _WINDOW_SECONDS_RATE = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
 
 _INTERVAL_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,

@@ -48,6 +48,36 @@ def test_fake_decode_deterministic():
     assert np.array_equal(fake_decode(b""), np.zeros((8, 8, 3), dtype=np.float32))
 
 
+def test_sha_decode_engine_neutral():
+    import hashlib
+
+    from beamium_spark.operators.multimodal import sha_decode
+
+    a = sha_decode(b"payload")
+    assert a.shape == (8, 8, 1) and a.dtype == np.float32
+    # first pixel is the first byte of sha256(payload), /256 — exact
+    d1 = hashlib.sha256(b"payload").hexdigest()
+    assert a[0, 0, 0] == int(d1[:2], 16) / 256.0
+    # byte 32 comes from the chained digest sha256(hex(d1))
+    d2 = hashlib.sha256(d1.encode()).hexdigest()
+    assert a.ravel()[32] == int(d2[:2], 16) / 256.0
+    assert np.array_equal(sha_decode(b""), np.zeros((8, 8, 1), dtype=np.float32))
+    # every value is exactly k/256: float32 representation is lossless
+    assert np.array_equal(a * 256.0, np.round(a * 256.0))
+
+
+def test_extract_features_sha_decoder(spark, tiny_web_pages):
+    from beamium_spark.operators.multimodal import extract_features, sha_decode
+
+    rows = extract_features(
+        tiny_web_pages.limit(20), decoder=sha_decode
+    ).collect()
+    assert all(len(r["feat"]) == 64 for r in rows)
+    for r in rows:
+        want = float(np.sqrt((np.array(r["feat"], dtype=np.float64) ** 2).sum()))
+        assert r["feat_norm"] == want
+
+
 def test_extract_features_shapes(spark, tiny_web_pages):
     feats = extract_features(tiny_web_pages.limit(50), h=4, w=4)
     rows = feats.collect()

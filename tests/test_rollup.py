@@ -184,6 +184,62 @@ def test_tier_moving_agg(spark):
         tier_moving_agg(tier, stats=("median",))
 
 
+def test_tier_anomalies(spark):
+    import math
+
+    import datetime as dt
+
+    import pytest
+
+    from beamium_spark.operators.rollup import tier_anomalies
+
+    t0 = dt.datetime(2025, 1, 1)
+    # flat baseline of 10s, one spike of 100 at minute 6, then constant run
+    vals = [10, 10, 12, 8, 10, 10, 100, 10, 10]
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), 1, float(v), float(v), float(v))
+         for i, v in enumerate(vals)],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    rows = {
+        r["window_start"].minute: r
+        for r in tier_anomalies(tier, k=20, threshold=3.0, min_points=5).collect()
+    }
+    # first row: empty strictly-preceding frame
+    assert rows[0]["base_n"] == 0 and rows[0]["zscore"] is None
+    assert rows[0]["is_anomaly"] is False
+    # rows 1-4: fewer than min_points baseline rows -> z gated off
+    for m in (1, 2, 3, 4):
+        assert rows[m]["zscore"] is None and rows[m]["is_anomaly"] is False
+    # row 6 (the spike): baseline = first 6 values, all ~10
+    base = vals[:6]
+    mean = sum(base) / len(base)
+    var = sum((v - mean) ** 2 for v in base) / (len(base) - 1)
+    want_z = (100 - mean) / math.sqrt(var)
+    assert rows[6]["base_n"] == 6
+    assert rows[6]["zscore"] == pytest.approx(want_z)
+    assert rows[6]["is_anomaly"] is True
+    # row 7 (back to normal, spike now in baseline): huge std absorbs it
+    assert rows[7]["is_anomaly"] is False
+    # constant-baseline guard: all-equal history -> std 0 -> z NULL
+    const = spark.createDataFrame(
+        [(0, "c", t0 + dt.timedelta(minutes=i), 1, 5.0, 5.0, 5.0)
+         for i in range(6)] +
+        [(0, "c", t0 + dt.timedelta(minutes=6), 1, 50.0, 50.0, 50.0)],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    last = tier_anomalies(const, min_points=5).orderBy("window_start").collect()[-1]
+    assert last["base_std"] == 0.0 and last["zscore"] is None
+    assert last["is_anomaly"] is False
+
+    with pytest.raises(ValueError):
+        tier_anomalies(tier, k=0)
+    with pytest.raises(ValueError):
+        tier_anomalies(tier, min_points=1)
+
+
 def test_window_seconds_and_tier_rate_validation(spark):
     import pytest
 
