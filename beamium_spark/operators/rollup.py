@@ -396,6 +396,102 @@ def tier_anomalies(
     return out
 
 
+def tier_correlations(
+    tier: DataFrame,
+    value_col: str = "sum_value",
+    min_windows: int = 3,
+) -> DataFrame:
+    """Pairwise Pearson correlation between metric series within a
+    bucket, aligned on window_start — the "which signals move together"
+    read analysts run over a continuous aggregate (and the reference's
+    consumers run downstream in Warp10 over forwarded series).
+
+    Alignment is INNER: a window contributes to a pair only when BOTH
+    metrics have a tier row there (gap-fill first for union alignment).
+    Pairs are emitted once with ``m1 < m2``; self-pairs excluded;
+    ``n_windows`` counts aligned windows and pairs below ``min_windows``
+    are dropped (a 2-point correlation is always ±1 — noise).
+
+    Scale: the self-join keys on (bucket, window_start), so both sides
+    shuffle on the tier's own partitioning; per-key fan-out is
+    C(metrics-per-bucket, 2) — bounded by schema cardinality, never by
+    raw data volume — and the correlation reduces through decomposable
+    co-moment aggregates (map-side partials), so the result is one row
+    per (bucket, metric pair).
+
+    NULL semantics: ``corr`` is NULL when either series is constant over
+    the aligned windows (zero variance) — Spark 4's ANSI-mode ``F.corr``
+    THROWS DIVIDE_BY_ZERO there, so the ratio is built from
+    ``covar_samp``/``stddev_samp`` (which NULL out gracefully) behind a
+    positive-variance guard, matching SQL engines' NULL convention.
+    """
+    if min_windows < 2:
+        raise ValueError(f"min_windows must be >= 2, got {min_windows}")
+    a = tier.select(
+        "bucket",
+        F.col("metric").alias("m1"),
+        "window_start",
+        F.col(value_col).cast("double").alias("v1"),
+    )
+    b = tier.select(
+        "bucket",
+        F.col("metric").alias("m2"),
+        "window_start",
+        F.col(value_col).cast("double").alias("v2"),
+    )
+    corr = F.when(
+        (F.stddev_samp("v1") > 0) & (F.stddev_samp("v2") > 0),
+        F.covar_samp("v1", "v2") / (F.stddev_samp("v1") * F.stddev_samp("v2")),
+    )
+    return (
+        a.join(b, ["bucket", "window_start"])
+        .where(F.col("m1") < F.col("m2"))
+        .groupBy("bucket", "m1", "m2")
+        .agg(
+            corr.alias("corr"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .where(F.col("n_windows") >= min_windows)
+    )
+
+
+def rollup_histogram(
+    points: DataFrame,
+    window: str = "1 hour",
+    bin_width: float = 1.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per (bucket, metric, window) — the
+    distribution view a percentile tier can't give (rollup.py's
+    non-decomposability note): histogram counts ARE decomposable, so
+    coarser tiers re-roll from finer ones by summing bin counts, and
+    quantile estimates stay mergeable at any scale.
+
+    Emits (bucket, metric, window_start, bin, bin_lo, cnt) where
+    ``bin = floor(value / bin_width)`` and ``bin_lo = bin * bin_width``.
+    One hash-agg on (bucket, metric, window, bin) — same shuffle shape
+    as :func:`rollup_tier` with a slightly wider key; empty bins are
+    absent (sparse form; join a bin grid if dense output is needed).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    w = F.window(F.col(ts_col), window)
+    bin_col = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
+    return (
+        points.groupBy("bucket", "metric", w.alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            "metric",
+            F.col("w.start").alias("window_start"),
+            "bin",
+            (F.col("bin") * F.lit(float(bin_width))).alias("bin_lo"),
+            "cnt",
+        )
+    )
+
+
 _WINDOW_SECONDS_RATE = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
 
 _INTERVAL_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,

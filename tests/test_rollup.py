@@ -240,6 +240,74 @@ def test_tier_anomalies(spark):
         tier_anomalies(tier, min_points=1)
 
 
+def test_tier_correlations(spark):
+    import datetime as dt
+
+    import pytest
+
+    from beamium_spark.operators.rollup import tier_correlations
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def rows(metric, vals):
+        return [
+            (0, metric, t0 + dt.timedelta(hours=i), 1, float(v), float(v), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    tier = spark.createDataFrame(
+        rows("a", [1, 2, 3, 4])        # rising
+        + rows("b", [2, 4, 6, 8])      # = 2*a -> corr 1
+        + rows("c", [4, 3, 2, 1])      # = -a -> corr -1
+        + rows("flat", [5, 5, 5, 5])   # constant -> NULL corr
+        + rows("short", [1, 9]),       # only 2 aligned windows -> dropped
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    out = {(r["m1"], r["m2"]): r for r in tier_correlations(tier).collect()}
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0)
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0)
+    assert out[("a", "flat")]["corr"] is None  # zero variance -> NULL, no throw
+    assert out[("a", "b")]["n_windows"] == 4
+    # pairs touching 'short' have only 2 aligned windows -> filtered
+    assert ("a", "short") not in out and ("short", "flat") not in out
+    # each unordered pair appears exactly once, m1 < m2
+    assert all(m1 < m2 for (m1, m2) in out)
+
+    with pytest.raises(ValueError):
+        tier_correlations(tier, min_windows=1)
+
+
+def test_rollup_histogram(spark):
+    import datetime as dt
+
+    import pytest
+
+    from beamium_spark.operators.rollup import rollup_histogram
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), v)
+         for i, v in enumerate([0.0, 4.9, 5.0, 12.0, -0.1, -5.0])],
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    out = {r["bin"]: r for r in rollup_histogram(pts, "1 hour", 5.0).collect()}
+    assert out[0]["cnt"] == 2 and out[0]["bin_lo"] == 0.0       # 0.0, 4.9
+    assert out[1]["cnt"] == 1 and out[1]["bin_lo"] == 5.0       # 5.0 (left-closed)
+    assert out[2]["cnt"] == 1                                    # 12.0
+    assert out[-1]["cnt"] == 2 and out[-1]["bin_lo"] == -5.0     # -0.1, -5.0
+    # decomposability: re-rolling 1h bins from finer windows sums counts
+    fine = rollup_histogram(pts, "1 minute", 5.0)
+    assert (
+        fine.groupBy("bin").sum("cnt").withColumnRenamed("sum(cnt)", "cnt")
+        .orderBy("bin").collect()
+        == [(b, out[b]["cnt"]) for b in sorted(out)]
+    )
+
+    with pytest.raises(ValueError):
+        rollup_histogram(pts, "1 hour", 0.0)
+
+
 def test_window_seconds_and_tier_rate_validation(spark):
     import pytest
 
