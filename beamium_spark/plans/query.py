@@ -104,6 +104,8 @@ def query(
     rate: bool | str = False,
     stat: str | None = None,
     session_gap: str | None = None,
+    anomaly: int | None = None,
+    anomaly_threshold: float = 3.0,
     blocks_table: str = "blocks",
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
@@ -123,6 +125,13 @@ def query(
     is rejected (a zero/carried percentile is not a percentile);
     ``smooth``/``rate`` compose as usual.
 
+    ``anomaly=k`` annotates the final series with rolling z-score alert
+    columns (``base_avg``/``base_std``/``base_n``/``zscore``/
+    ``is_anomaly`` via :func:`~beamium_spark.operators.rollup.
+    tier_anomalies`): baseline = the k steps STRICTLY before each row,
+    flagged when |z| > ``anomaly_threshold``. Applied after agg/fill/
+    smooth/rate, so alerts read the same series the dashboard shows.
+
     ``session_gap='5 minutes'`` answers SESSION reads the same way:
     activity bursts recomputed from the chunk-pruned block store via
     ``session_rollup`` (gap merging cannot re-roll from fixed-grid tier
@@ -132,6 +141,8 @@ def query(
     """
     if smooth is not None and rate:
         raise ValueError("smooth and rate are mutually exclusive")
+    if anomaly is not None and anomaly < 2:
+        raise ValueError(f"anomaly baseline width must be >= 2 steps, got {anomaly}")
     if smooth is not None and smooth < 1:
         raise ValueError(f"smooth must be >= 1, got {smooth}")
     if rate not in (False, True, "counter"):
@@ -143,9 +154,10 @@ def query(
     step_s = parse_step(step)
 
     if session_gap is not None:
-        if stat is not None or fill is not None or smooth is not None or rate:
+        if stat is not None or fill is not None or smooth is not None or rate \
+                or anomaly is not None:
             raise ValueError(
-                "session_gap is exclusive with stat/fill/smooth/rate"
+                "session_gap is exclusive with stat/fill/smooth/rate/anomaly"
             )
         from beamium_spark.operators.rollup import session_rollup
 
@@ -169,7 +181,7 @@ def query(
                 "bucket", "metric", F.col("w.start").alias("window_start"), "value"
             )
         )
-        return _shape(out, smooth, rate, step_s)
+        return _shape(out, smooth, rate, step_s, anomaly, anomaly_threshold)
 
     tier_name, _tier_s = select_tier(store, step_s)
 
@@ -223,28 +235,46 @@ def query(
     cols = ["bucket", "metric", "window_start", value.alias("value")]
     if fill is not None:
         cols.append("filled")
-    return _shape(re_rolled.select(*cols), smooth, rate, step_s)
+    return _shape(re_rolled.select(*cols), smooth, rate, step_s, anomaly,
+                  anomaly_threshold)
 
 
-def _shape(out: DataFrame, smooth: int | None, rate: bool | str, step_s: int) -> DataFrame:
-    """Post-aggregation smoothing / rate derivation shared by the tier and
-    percentile read paths — per-series window passes over the re-rolled
-    slice, whose rows per series are bounded by (end - start) / step (the
-    tier_rate safety argument)."""
-    if smooth is None and not rate:
-        return out
+def _shape(
+    out: DataFrame,
+    smooth: int | None,
+    rate: bool | str,
+    step_s: int,
+    anomaly: int | None = None,
+    anomaly_threshold: float = 3.0,
+) -> DataFrame:
+    """Post-aggregation smoothing / rate / anomaly annotation shared by
+    the tier and percentile read paths — per-series window passes over the
+    re-rolled slice, whose rows per series are bounded by
+    (end - start) / step (the tier_rate safety argument)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("bucket", "metric").orderBy("window_start")
     if smooth is not None:
-        return out.withColumn(
+        out = out.withColumn(
             "value", F.avg("value").over(w.rowsBetween(-(smooth - 1), 0))
         )
-    prev = F.lag("value").over(w)
-    raw_delta = F.col("value") - prev
-    delta = (
-        F.when(raw_delta < 0, F.col("value")).otherwise(raw_delta)
-        if rate == "counter"
-        else raw_delta
-    )
-    return out.withColumn("value", delta / F.lit(float(step_s)))
+    elif rate:
+        prev = F.lag("value").over(w)
+        raw_delta = F.col("value") - prev
+        delta = (
+            F.when(raw_delta < 0, F.col("value")).otherwise(raw_delta)
+            if rate == "counter"
+            else raw_delta
+        )
+        out = out.withColumn("value", delta / F.lit(float(step_s)))
+    if anomaly is not None:
+        from beamium_spark.operators.rollup import tier_anomalies
+
+        out = tier_anomalies(
+            out,
+            k=anomaly,
+            value_col="value",
+            threshold=anomaly_threshold,
+            min_points=max(2, min(5, anomaly)),
+        )
+    return out

@@ -143,6 +143,29 @@ def test_query_smooth_rate_exclusive_and_validation(store):
         query(store, "doc_count", "2025-01-01", "2025-01-02", rate="bogus")
 
 
+def test_query_anomaly_annotation(store):
+    # 1m-step read over the fixture's flat every-other-minute series:
+    # constant values -> std 0 -> no anomalies, but the plumbing (columns,
+    # NULL gating below min_points) is exercised end to end
+    out = query(
+        store, "doc_count", "2025-01-01T00:00:00", "2025-01-01T02:00:00",
+        step="2m", agg="avg", anomaly=10,
+    ).orderBy("window_start").collect()
+    assert {"base_avg", "base_std", "base_n", "zscore", "is_anomaly"} <= set(
+        out[0].asDict()
+    )
+    assert not any(r["is_anomaly"] for r in out)  # constant series
+    assert out[0]["base_n"] == 0 and out[0]["zscore"] is None
+    # composes after smooth; rejected alongside session_gap; validated
+    smoothed = query(
+        store, "doc_count", "2025-01-01T00:00:00", "2025-01-01T02:00:00",
+        step="2m", smooth=3, anomaly=5,
+    )
+    assert "zscore" in smoothed.columns and "value" in smoothed.columns
+    with pytest.raises(ValueError):
+        query(store, "doc_count", "2025-01-01", "2025-01-02", anomaly=1)
+
+
 def test_query_percentile_from_blocks(spark, store, tmp_path):
     """stat='p95' recomputes from the raw block store: exact interpolated
     percentile per step window, equal to computing straight from points;
