@@ -24,6 +24,13 @@ Modes:
 - ``--scrape``  — conf-driven ``ScrapeDaemon`` over GTS/Prometheus text
                   directories instead of the web-pages table (the
                   reference's native input; ``--source name=dir`` pairs).
+- ``--query``   — the read path from the same binary: one
+                  ``plans.query.query()`` call against the state root's
+                  tier store (``--metric/--start/--end`` required;
+                  step/agg/fill/smooth/rate/stat/session-gap/anomaly
+                  knobs pass through). Result goes to ``--out`` as
+                  parquet (distributed write), else prints up to
+                  ``--limit`` JSON rows.
 
 Retention runs after every pass per sink/tier policy; counters print as
 one JSON line per pass (the /metrics exposition analogue).
@@ -57,6 +64,30 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--now", default=None,
                    help="retention 'now' ISO timestamp (default: wall clock)")
+    q = p.add_argument_group("query mode (--query)")
+    q.add_argument("--query", action="store_true",
+                   help="read from the state root's tier store and exit")
+    q.add_argument("--metric", help="anchored metric regex")
+    q.add_argument("--start", help="range start (ISO)")
+    q.add_argument("--end", help="range end (ISO, exclusive)")
+    q.add_argument("--step", default="1 hour", help="grid step (default: 1 hour)")
+    q.add_argument("--agg", default="avg", choices=["avg", "sum", "min", "max", "cnt"])
+    q.add_argument("--fill", default=None, choices=["zero", "ffill", "linear"])
+    q.add_argument("--smooth", type=int, default=None,
+                   help="trailing moving-average width in steps")
+    q.add_argument("--rate", default=None, choices=["delta", "counter"],
+                   help="per-second derivative of the value")
+    q.add_argument("--stat", default=None,
+                   help="percentile read from the block store, e.g. p95")
+    q.add_argument("--session-gap", default=None,
+                   help="session read from the block store, e.g. '5 minutes'")
+    q.add_argument("--anomaly", type=int, default=None,
+                   help="annotate with rolling z-score alerts (baseline steps)")
+    q.add_argument("--bucket", type=int, default=None, help="single-bucket filter")
+    q.add_argument("--out", default=None,
+                   help="write the result as parquet here instead of printing")
+    q.add_argument("--limit", type=int, default=1000,
+                   help="max rows printed without --out (default 1000)")
     return p
 
 
@@ -81,6 +112,47 @@ def main(argv: list[str] | None = None) -> int:
         # per-pass `now` (src/sink.rs:101-146) — computing it once at
         # process start would freeze retention and grow sinks unboundedly
         return args.now or time.strftime("%Y-%m-%dT%H:%M:%S")
+
+    if args.query:
+        if not (args.metric and args.start and args.end):
+            print("--query requires --metric, --start and --end", file=sys.stderr)
+            return 2
+        from beamium_spark.plans.query import query
+        from beamium_spark.sources.tables import ParquetTierStore
+
+        store = ParquetTierStore(spark, args.state)
+        df = query(
+            store,
+            args.metric,
+            args.start,
+            args.end,
+            step=args.step,
+            agg=args.agg,
+            fill=args.fill,
+            bucket=args.bucket,
+            smooth=args.smooth,
+            rate={"delta": True, "counter": "counter"}.get(args.rate, False),
+            stat=args.stat,
+            session_gap=args.session_gap,
+            anomaly=args.anomaly,
+        )
+        order = "session_start" if args.session_gap else "window_start"
+        df = df.orderBy("bucket", "metric", order)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                              "out": args.out}), flush=True)
+            return 0
+        # driver-bounded print: toLocalIterator streams one partition at a
+        # time, --limit caps the emitted rows regardless of result size
+        n = 0
+        for row in df.toLocalIterator():
+            if n >= args.limit:
+                print(json.dumps({"truncated_at": args.limit}), flush=True)
+                break
+            print(json.dumps(row.asDict(), default=str), flush=True)
+            n += 1
+        return 0
 
     if args.scrape:
         from beamium_spark.plans.daemon import ScrapeDaemon, ScraperSource

@@ -27,6 +27,40 @@ def test_cli_catchup_then_noop(spark, tmp_path, capsys):
     assert lines2[0]["chunks"] == 0
 
 
+def test_cli_query_mode(spark, tmp_path, capsys):
+    pages = ensure_web_pages(0.0003)
+    state = str(tmp_path / "state")
+    # build the tiers with the job, then read them back from the same binary
+    rc = main(["--pages", pages, "--state", state, "--now", "2025-01-01T00:00:00"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "--state", state, "--query",
+        "--metric", "doc_count",
+        "--start", "2025-01-01T00:00:00", "--end", "2025-01-02T00:00:00",
+        "--step", "1 hour", "--agg", "sum", "--anomaly", "6",
+        "--limit", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    rows = [json.loads(l) for l in out if l.startswith("{")]
+    assert rows and {"bucket", "metric", "value", "zscore", "is_anomaly"} <= set(rows[0])
+    assert any("truncated_at" in r for r in rows)  # --limit enforced
+    # --out writes parquet instead of printing
+    dest = str(tmp_path / "result")
+    rc = main([
+        "--state", state, "--query", "--metric", "doc_count",
+        "--start", "2025-01-01T00:00:00", "--end", "2025-01-02T00:00:00",
+        "--out", dest,
+    ])
+    assert rc == 0
+    summary = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+               if l.startswith("{")][-1]
+    assert summary["rows"] > 0 and os.path.isdir(dest)
+    # validation: missing range args
+    assert main(["--state", state, "--query", "--metric", "x"]) == 2
+
+
 def test_cli_scrape_mode(spark, tmp_path, capsys):
     d = tmp_path / "gts"
     d.mkdir()
