@@ -492,6 +492,57 @@ def rollup_histogram(
     )
 
 
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    bin_width: float,
+) -> DataFrame:
+    """Prometheus-style ``histogram_quantile`` over a
+    :func:`rollup_histogram` tier: per (bucket, metric, window_start),
+    walk the cumulative bin counts to the ``q`` rank and interpolate
+    linearly inside the crossing bin (uniform-within-bin assumption).
+
+    This is the SCALE path for percentile reads: bin counts are
+    decomposable (1d histograms re-roll from 1h by summing), so a
+    q-estimate with ±``bin_width`` error is available at any tier
+    without touching raw points — the complement to the exact
+    block-store recompute in plans/query.py (``stat='p95'``), which is
+    raw-fidelity but range-bounded. NULL-value bins are excluded.
+
+    One per-series-window sort window over tier-sized rows (bins per
+    window ≤ value-range/bin_width — schema-bounded, never data-bounded).
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    keys = ["bucket", "metric", "window_start"]
+    h = hist.filter(F.col("bin").isNotNull())
+    wcum = Window.partitionBy(*keys).orderBy("bin")
+    wall = Window.partitionBy(*keys)
+    # window expressions must be projected before the filter can use them
+    # (Spark disallows window functions inside WHERE)
+    return (
+        h.withColumn("_cum", F.sum("cnt").over(wcum))
+        .withColumn("_rank", F.lit(float(q)) * F.sum("cnt").over(wall))
+        # the unique crossing bin: cumulative count reaches the rank here
+        # and had not before it (cnt > 0 in a sparse histogram → one row)
+        .where(
+            (F.col("_cum") >= F.col("_rank"))
+            & ((F.col("_cum") - F.col("cnt")) < F.col("_rank"))
+        )
+        .select(
+            *keys,
+            (
+                F.col("bin_lo")
+                + F.lit(float(bin_width))
+                * (F.col("_rank") - (F.col("_cum") - F.col("cnt")))
+                / F.col("cnt")
+            ).alias("value"),
+        )
+    )
+
+
 _WINDOW_SECONDS_RATE = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
 
 _INTERVAL_UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,

@@ -308,6 +308,44 @@ def test_rollup_histogram(spark):
         rollup_histogram(pts, "1 hour", 0.0)
 
 
+def test_histogram_quantile(spark):
+    import datetime as dt
+
+    import pytest
+
+    from beamium_spark.operators.rollup import histogram_quantile, rollup_histogram
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), float(v))
+         for i, v in enumerate(range(1, 11))],  # 1..10
+        "bucket int, metric string, ts timestamp, value double",
+    )
+    h = rollup_histogram(pts, "1 hour", 5.0)
+    # bins: [0,5)->{1,2,3,4}, [5,10)->{5..9}, [10,15)->{10}; total 10
+    # q=0.5 -> rank 5; crossing bin [5,10): 5 + 5*(5-4)/5 = 6.0
+    got = histogram_quantile(h, 0.5, 5.0).collect()
+    assert len(got) == 1 and got[0]["value"] == 6.0
+    # q=1.0 -> rank 10 -> last bin upper edge: 10 + 5*(10-9)/1 = 15.0
+    assert histogram_quantile(h, 1.0, 5.0).collect()[0]["value"] == 15.0
+    # approximation bound: within one bin_width of the exact percentile
+    exact_p50 = 5.5
+    assert abs(got[0]["value"] - exact_p50) <= 5.0
+    # decomposability: the same quantile from the 1d re-rolled histogram
+    day = (
+        h.groupBy("bucket", "metric", "bin", "bin_lo")
+        .sum("cnt")
+        .withColumnRenamed("sum(cnt)", "cnt")
+        .withColumn("window_start", F.lit(t0))
+    )
+    assert histogram_quantile(day, 0.5, 5.0).collect()[0]["value"] == 6.0
+
+    with pytest.raises(ValueError):
+        histogram_quantile(h, 0.0, 5.0)
+    with pytest.raises(ValueError):
+        histogram_quantile(h, 0.5, -1.0)
+
+
 def test_window_seconds_and_tier_rate_validation(spark):
     import pytest
 
