@@ -504,10 +504,14 @@ def histogram_quantile(
 
     This is the SCALE path for percentile reads: bin counts are
     decomposable (1d histograms re-roll from 1h by summing), so a
-    q-estimate with ±``bin_width`` error is available at any tier
-    without touching raw points — the complement to the exact
-    block-store recompute in plans/query.py (``stat='p95'``), which is
-    raw-fidelity but range-bounded. NULL-value bins are excluded.
+    q-estimate is available at any tier without touching raw points —
+    the complement to the exact block-store recompute in plans/query.py
+    (``stat='p95'``), which is raw-fidelity but range-bounded. The
+    rank-``⌈qn⌉`` order statistic always lies in the crossing bin, so
+    the estimate is within ±``bin_width`` of that empirical quantile
+    (interpolating estimators like Spark's ``percentile`` use rank
+    q(n-1) and can land one bin over on windows of 2-3 points).
+    NULL-value bins are excluded.
 
     One per-series-window sort window over tier-sized rows (bins per
     window ≤ value-range/bin_width — schema-bounded, never data-bounded).

@@ -58,6 +58,10 @@ class JobConf:
     drop_label_keys: list = field(default_factory=list)
     metric_whitelist: str | None = None
     write_blocks: bool = True
+    # when set, the job also maintains a 1h fixed-width value-histogram
+    # tier ("hist_1h") — decomposable bin counts, the scale path for
+    # approximate percentile reads (query(stat=..., approx=True))
+    histogram_bin_width: float | None = None
     # per-tick incremental compaction: chunks exceeding this many parquet
     # files get rewritten after retention (0 = off)
     max_files_per_chunk: int = 8
@@ -69,6 +73,9 @@ class JobConf:
             "rollup_1h": RetentionPolicy(ttl_hours=14 * 24),
             "rollup_1d": RetentionPolicy(),
             "blocks": RetentionPolicy(ttl_hours=48),
+            # distribution tier (written only when histogram_bin_width is
+            # set) follows the 1h tier's horizon
+            "hist_1h": RetentionPolicy(ttl_hours=14 * 24),
         }
     )
 
@@ -226,6 +233,26 @@ class RollupJob:
             )
             commit_with_retry(
                 lambda: self.store.write_chunks(blocks, "blocks", "chunk_start")
+            )
+
+        if self.conf.histogram_bin_width:
+            from beamium_spark.operators.rollup import rollup_histogram
+
+            # hour windows align with chunk boundaries, so each chunk's
+            # dynamic overwrite replaces complete windows — replay-idempotent
+            # like the tiers; bin_width rides along so readers are
+            # self-describing
+            hist = (
+                rollup_histogram(
+                    points, "1 hour", self.conf.histogram_bin_width
+                )
+                .withColumn(
+                    "bin_width", F.lit(float(self.conf.histogram_bin_width))
+                )
+                .withColumn("chunk_start", F.col("window_start"))
+            )
+            commit_with_retry(
+                lambda: self.store.write_chunks(hist, "hist_1h", "chunk_start")
             )
 
         # cascades from the tier below, recomputed for every *date* touched:

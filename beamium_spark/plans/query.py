@@ -103,6 +103,7 @@ def query(
     smooth: int | None = None,
     rate: bool | str = False,
     stat: str | None = None,
+    approx: bool = False,
     session_gap: str | None = None,
     anomaly: int | None = None,
     anomaly_threshold: float = 3.0,
@@ -124,6 +125,15 @@ def query(
     tuples can't answer it. ``agg`` is ignored on that path; ``fill``
     is rejected (a zero/carried percentile is not a percentile);
     ``smooth``/``rate`` compose as usual.
+
+    ``stat='p95', approx=True`` answers the percentile from the
+    decomposable ``hist_1h`` histogram tier instead (maintained by the
+    job when ``JobConf.histogram_bin_width`` is set): bin counts re-roll
+    to any hour-multiple step by summing, then
+    :func:`~beamium_spark.operators.rollup.histogram_quantile`
+    interpolates inside the rank-crossing bin — ±bin_width error, cost
+    scales with tier rows, never raw points. The exact (approx=False)
+    block-store path stays for range-bounded raw fidelity.
 
     ``anomaly=k`` annotates the final series with rolling z-score alert
     columns (``base_avg``/``base_std``/``base_n``/``zscore``/
@@ -173,6 +183,44 @@ def query(
         if fill is not None:
             raise ValueError("fill is not supported with percentile stats")
         qfrac = float(m.group(1)) / 100.0
+        if approx:
+            if step_s % 3600 != 0:
+                raise ValueError(
+                    "approx stat reads re-roll the 1h histogram tier — "
+                    "step must be a multiple of 1 hour"
+                )
+            if not store.exists("hist_1h"):
+                raise ValueError(
+                    "approx stat read needs the 'hist_1h' tier "
+                    "(set JobConf.histogram_bin_width)"
+                )
+            from beamium_spark.operators.rollup import histogram_quantile
+
+            h = store.read("hist_1h")
+            if "chunk_key" in h.columns:
+                lo = start.strftime("%Y-%m-%d-%H")
+                hi = end.strftime("%Y-%m-%d-%H")
+                h = h.filter((F.col("chunk_key") >= lo) & (F.col("chunk_key") <= hi))
+            h = h.filter(
+                (F.col("window_start") >= F.lit(start))
+                & (F.col("window_start") < F.lit(end))
+            ).filter(F.col("metric").rlike(f"^(?:{metric})$"))
+            if bucket is not None:
+                h = h.filter(F.col("bucket") == bucket)
+            # self-describing width (control-plane single-row read)
+            wrow = h.select("bin_width").first()
+            width = float(wrow[0]) if wrow else 1.0
+            w = F.window("window_start", f"{step_s} seconds")
+            re_binned = (
+                h.groupBy("bucket", "metric", w.alias("w"), "bin", "bin_lo")
+                .agg(F.sum("cnt").alias("cnt"))
+                .select(
+                    "bucket", "metric", F.col("w.start").alias("window_start"),
+                    "bin", "bin_lo", "cnt",
+                )
+            )
+            out = histogram_quantile(re_binned, qfrac, width)
+            return _shape(out, smooth, rate, step_s, anomaly, anomaly_threshold)
         pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
         out = (
             pts.groupBy("bucket", "metric", F.window("ts", f"{step_s} seconds").alias("w"))

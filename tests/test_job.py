@@ -35,6 +35,73 @@ def test_full_run_then_noop(spark, pages_path, tmp_path):
     assert ctr["rollup_1m"]["scraped"] == r1["scraped"]
 
 
+def test_job_maintains_histogram_tier(spark, pages_path, tmp_path):
+    """JobConf.histogram_bin_width turns on the hist_1h distribution
+    tier; query(stat=..., approx=True) answers from it, within one
+    bin_width of the exact block-store read; re-running the job leaves
+    the tier unchanged (idempotent chunk overwrites)."""
+    from beamium_spark.plans.query import query
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    state = str(tmp_path / "s")
+    conf = JobConf(bucket_mode="site", histogram_bin_width=50.0)
+    job = RollupJob(spark, pages_path, state, conf)
+    job.run()
+    store = ParquetTierStore(spark, state)
+    assert store.exists("hist_1h")
+    h = store.read("hist_1h")
+    assert {"bin", "bin_lo", "cnt", "bin_width"} <= set(h.columns)
+    snap = sorted(
+        (r["bucket"], r["metric"], r["bin"], r["cnt"])
+        for r in h.select("bucket", "metric", "bin", "cnt").collect()
+    )
+    # approx read: same windows as the exact read, values inside the
+    # window's own bin range, quantiles monotone (the exact ±bin_width
+    # equivalence needs dense windows — pinned on known data in
+    # test_rollup::test_histogram_quantile; sparse fixture windows hold
+    # 1-3 points where the two interpolation conventions legitimately
+    # land in different bins)
+    span = ("2025-01-01T00:00:00", "2025-01-03T00:00:00")
+    exact = {
+        (r["bucket"], r["window_start"]): r["value"]
+        for r in query(store, "byte_size", *span, step="1 hour", stat="p50").collect()
+    }
+    approx = {
+        (r["bucket"], r["window_start"]): r["value"]
+        for r in query(
+            store, "byte_size", *span, step="1 hour", stat="p50", approx=True
+        ).collect()
+    }
+    assert exact and set(approx) == set(exact)
+    bins = {}
+    for r in h.select("bucket", "window_start", "bin_lo").collect():
+        k = (r["bucket"], r["window_start"])
+        lo, hi = bins.get(k, (float("inf"), float("-inf")))
+        bins[k] = (min(lo, r["bin_lo"]), max(hi, r["bin_lo"] + 50.0))
+    assert all(bins[k][0] <= approx[k] <= bins[k][1] for k in approx)
+    p95 = {
+        (r["bucket"], r["window_start"]): r["value"]
+        for r in query(
+            store, "byte_size", *span, step="1 hour", stat="p95", approx=True
+        ).collect()
+    }
+    assert all(approx[k] <= p95[k] for k in approx)
+    # replay idempotency: a fresh job over the same input is a no-op and
+    # the tier is unchanged
+    RollupJob(spark, pages_path, state, conf).run()
+    snap2 = sorted(
+        (r["bucket"], r["metric"], r["bin"], r["cnt"])
+        for r in store.read("hist_1h").select("bucket", "metric", "bin", "cnt").collect()
+    )
+    assert snap2 == snap
+    # validation: approx needs an hour-multiple step and the tier itself
+    with pytest.raises(ValueError, match="multiple of 1 hour"):
+        query(store, "byte_size", *span, step="30m", stat="p50", approx=True)
+    empty = ParquetTierStore(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="hist_1h"):
+        query(empty, "byte_size", *span, step="1 hour", stat="p50", approx=True)
+
+
 def test_kill_and_replay_equals_uninterrupted(spark, pages_path, tmp_path):
     conf = JobConf(bucket_mode="site")
     # interrupted: process only 5 chunks, "crash", then resume the rest
