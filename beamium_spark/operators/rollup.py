@@ -412,12 +412,14 @@ def tier_correlations(
     ``n_windows`` counts aligned windows and pairs below ``min_windows``
     are dropped (a 2-point correlation is always ±1 — noise).
 
-    Scale: the self-join keys on (bucket, window_start), so both sides
-    shuffle on the tier's own partitioning; per-key fan-out is
-    C(metrics-per-bucket, 2) — bounded by schema cardinality, never by
-    raw data volume — and the correlation reduces through decomposable
-    co-moment aggregates (map-side partials), so the result is one row
-    per (bucket, metric pair).
+    Scale: SINGLE-PASS over the tier — no self-join, so an uncached
+    upstream is never computed twice. One shuffle groups each (bucket,
+    window_start) and collects its metric/value structs (array size =
+    metrics-per-bucket, schema-bounded); ordered pairs explode via a
+    higher-order cross product, then one tiny aggregation on (bucket,
+    m1, m2) reduces the correlation through decomposable co-moment
+    aggregates with map-side partials. Per-window fan-out is
+    C(metrics-per-bucket, 2) — never data-bounded.
 
     NULL semantics: ``corr`` is NULL when either series is constant over
     the aligned windows (zero variance) — Spark 4's ANSI-mode ``F.corr``
@@ -427,26 +429,38 @@ def tier_correlations(
     """
     if min_windows < 2:
         raise ValueError(f"min_windows must be >= 2, got {min_windows}")
-    a = tier.select(
-        "bucket",
-        F.col("metric").alias("m1"),
-        "window_start",
-        F.col(value_col).cast("double").alias("v1"),
+    per_window = tier.groupBy("bucket", "window_start").agg(
+        F.collect_list(
+            F.struct(
+                F.col("metric").alias("m"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        ).alias("ms")
     )
-    b = tier.select(
+    # ordered cross product of the window's metrics, m1 < m2 once each
+    pairs = per_window.select(
         "bucket",
-        F.col("metric").alias("m2"),
-        "window_start",
-        F.col(value_col).cast("double").alias("v2"),
+        F.explode(
+            F.expr(
+                "filter("
+                " flatten(transform(ms, a -> transform(ms, b ->"
+                "  named_struct('m1', a.m, 'v1', a.v, 'm2', b.m, 'v2', b.v)))),"
+                " x -> x.m1 < x.m2)"
+            )
+        ).alias("p"),
+    ).select(
+        "bucket",
+        F.col("p.m1").alias("m1"),
+        F.col("p.m2").alias("m2"),
+        F.col("p.v1").alias("v1"),
+        F.col("p.v2").alias("v2"),
     )
     corr = F.when(
         (F.stddev_samp("v1") > 0) & (F.stddev_samp("v2") > 0),
         F.covar_samp("v1", "v2") / (F.stddev_samp("v1") * F.stddev_samp("v2")),
     )
     return (
-        a.join(b, ["bucket", "window_start"])
-        .where(F.col("m1") < F.col("m2"))
-        .groupBy("bucket", "m1", "m2")
+        pairs.groupBy("bucket", "m1", "m2")
         .agg(
             corr.alias("corr"),
             F.count(F.lit(1)).alias("n_windows"),
