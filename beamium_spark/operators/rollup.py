@@ -469,6 +469,77 @@ def tier_correlations(
     )
 
 
+# thunks, not Columns: F.col needs a live SparkContext, so building the
+# expressions at import time would fail before any session exists
+_BINOP_STATS = {
+    "sum": lambda: F.col("sum_value"),
+    "cnt": lambda: F.col("cnt").cast("double"),
+    "min": lambda: F.col("min_value"),
+    "max": lambda: F.col("max_value"),
+    "avg": lambda: F.col("sum_value") / F.col("cnt"),
+}
+
+
+def tier_binary_op(
+    tier: DataFrame,
+    metric_a: str,
+    metric_b: str,
+    op: str = "/",
+    stat: str = "sum",
+    out_metric: str | None = None,
+) -> DataFrame:
+    """PromQL-style arithmetic between two metric series of one tier,
+    aligned on (bucket, window_start) → (bucket, metric, window_start,
+    value). The canonical read is a ratio-of-sums — e.g. bytes-per-doc =
+    ``tier_binary_op(t, 'byte_size', 'doc_count')`` — the derived series
+    the reference's consumers compute downstream over forwarded GTS
+    (/root/reference/src/lib.rs pipeline docs); here it is a first-class
+    tier read so the raw table is never re-scanned.
+
+    ``stat`` picks the decomposable tuple column ('sum' | 'cnt' | 'min' |
+    'max' | 'avg'); ``op`` one of ``+ - * /``. Alignment is INNER (PromQL
+    vector-matching semantics: windows where either side is absent drop —
+    gap-fill the tier first for union alignment). Division emits NULL on
+    a zero denominator (SQL convention; ANSI Spark would throw).
+
+    Scale: SINGLE-PASS conditional aggregation — the tier is filtered to
+    the two metrics (predicate pushes to the tier scan), then ONE
+    (bucket, window_start)-keyed shuffle computes both sides via
+    ``max(when(metric = x, v))``; a tier row per (bucket, metric, window)
+    is unique so max() is selection, and there is no self-join to
+    recompute an uncached upstream twice. Output cardinality = aligned
+    windows — never raw-data-bounded.
+    """
+    if stat not in _BINOP_STATS:
+        raise ValueError(f"stat must be one of {sorted(_BINOP_STATS)}, got {stat!r}")
+    if op not in ("+", "-", "*", "/"):
+        raise ValueError(f"op must be one of + - * /, got {op!r}")
+    if metric_a == metric_b:
+        raise ValueError("metric_a and metric_b must differ")
+    v = _BINOP_STATS[stat]()
+    sel = lambda m: F.max(F.when(F.col("metric") == m, v))  # noqa: E731
+    aligned = (
+        tier.where(F.col("metric").isin(metric_a, metric_b))
+        .groupBy("bucket", "window_start")
+        .agg(sel(metric_a).alias("va"), sel(metric_b).alias("vb"))
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    a, b = F.col("va"), F.col("vb")
+    value = {
+        "+": a + b,
+        "-": a - b,
+        "*": a * b,
+        "/": F.when(b != 0, a / b),
+    }[op]
+    name = out_metric or f"{metric_a}{op}{metric_b}"
+    return aligned.select(
+        "bucket",
+        F.lit(name).alias("metric"),
+        "window_start",
+        value.cast("double").alias("value"),
+    )
+
+
 def rollup_histogram(
     points: DataFrame,
     window: str = "1 hour",

@@ -452,3 +452,54 @@ def test_session_rollup_matches_bruteforce(spark, offsets):
                  t0 + dt.timedelta(seconds=r[-1] + gap), len(r), float(len(r)))
             )
     assert got == sorted(want)
+
+
+def test_tier_binary_op(spark):
+    import datetime as dt
+
+    import pytest
+
+    from beamium_spark.operators.rollup import rollup_tier, tier_binary_op
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = []
+    # bucket 0: both metrics in windows 0 and 1; only 'a' in window 2
+    for w, (av, bv) in enumerate([(10.0, 2.0), (9.0, 3.0)]):
+        rows += [
+            (0, "a", t0 + dt.timedelta(hours=w), av),
+            (0, "b", t0 + dt.timedelta(hours=w), bv),
+        ]
+    rows.append((0, "a", t0 + dt.timedelta(hours=2), 7.0))
+    # bucket 1: denominator sums to zero in its only aligned window
+    rows += [(1, "a", t0, 5.0), (1, "b", t0, 0.0)]
+    # an unrelated metric must be ignored entirely
+    rows.append((0, "noise", t0, 99.0))
+    pts = spark.createDataFrame(rows, ["bucket", "metric", "ts", "value"])
+    tier = rollup_tier(pts, "1 hour")
+
+    out = tier_binary_op(tier, "a", "b", "/", out_metric="r")
+    got = {
+        (r["bucket"], r["window_start"]): r["value"] for r in out.collect()
+    }
+    # inner alignment: window 2 (a only) absent; zero denominator -> NULL
+    assert got == {
+        (0, t0): 5.0,
+        (0, t0 + dt.timedelta(hours=1)): 3.0,
+        (1, t0): None,
+    }
+    assert out.columns == ["bucket", "metric", "window_start", "value"]
+    assert out.select("metric").distinct().collect()[0][0] == "r"
+
+    # other ops and stats
+    add = tier_binary_op(tier, "a", "b", "+", stat="cnt")
+    vals = {
+        (r["bucket"], r["window_start"]): r["value"] for r in add.collect()
+    }
+    assert vals[(0, t0)] == 2.0  # cnt 1 + cnt 1
+
+    with pytest.raises(ValueError):
+        tier_binary_op(tier, "a", "a")
+    with pytest.raises(ValueError):
+        tier_binary_op(tier, "a", "b", "%")
+    with pytest.raises(ValueError):
+        tier_binary_op(tier, "a", "b", "/", stat="p95")
