@@ -760,3 +760,64 @@ def paragraph_dedup_stats(
             F.round(F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 6),
         )
     )
+
+
+def signature_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(h1, h2): the 128-bit double-hash identity of each document's text
+    — the persistable dedup state for :func:`exact_dedup_incremental`.
+    ~16 bytes/doc: at 10^12 docs the whole store is ~16 TB of narrow
+    parquet, shardable by h1. Write it BUCKETED BY h1 (``.bucketBy(n,
+    'h1')`` or the store's clustered-write path) so incremental anti-joins
+    co-locate without reshuffling the store side."""
+    return docs.select(
+        F.xxhash64(text_col).alias("h1"),
+        F.xxhash64(F.lit("bmx2"), F.col(text_col)).alias("h2"),
+    )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl exact dedup: dedup ONE new batch against the
+    accumulated corpus WITHOUT rescanning it, via the persisted
+    :func:`signature_frame` state — the batch-wise form of
+    :func:`exact_dedup`, matching the engine's chunked ingest model
+    (plans/checkpoint.py discovers new chunks; this dedups them; the
+    kept signatures append to the store as the chunk's lineage sibling).
+
+    Returns ``(kept, new_sigs)``:
+
+    - ``kept`` — the rows of ``new_docs`` (all columns) that survive:
+      not present in ``seen_sigs``, and the min-``id_col`` winner of any
+      within-batch duplicate group.
+    - ``new_sigs`` — (h1, h2) of the kept rows; append to the store so
+      the next batch sees them. The same text arriving in a later batch
+      is then dropped there (first-batch-wins across the stream).
+
+    Scale shape: the in-batch groupBy and the anti-join ship only
+    (h1, h2, id) — the shuffle is bounded by the BATCH size on one side;
+    the store side avoids a reshuffle when bucketed by h1 (see
+    :func:`signature_frame`). Kept rows re-attach by id, so document
+    bodies never enter an exchange. Identity is the 128-bit pair —
+    undetected collision odds ~n²/2¹²⁸, same contract as
+    :func:`exact_dedup`'s double hash.
+    """
+    narrow = new_docs.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(text_col).alias("h1"),
+        F.xxhash64(F.lit("bmx2"), F.col(text_col)).alias("h2"),
+    )
+    winners = narrow.groupBy("h1", "h2").agg(F.min("__id").alias("__id"))
+    if seen_sigs is not None:
+        winners = winners.join(
+            seen_sigs.select("h1", "h2"), ["h1", "h2"], "left_anti"
+        )
+    kept = new_docs.join(
+        winners.select(F.col("__id").alias(id_col)), id_col
+    )
+    return kept, winners.select("h1", "h2")

@@ -295,3 +295,46 @@ def test_pairs_materialize_releases_internal_caches(spark, docs):
     sim.count()
     sim.unpersist()
     assert cm.isEmpty()
+
+
+def test_exact_dedup_incremental(spark):
+    from beamium_spark.operators.dedup import (
+        exact_dedup_incremental,
+        signature_frame,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    kept1, sigs1 = exact_dedup_incremental(b1)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    assert sigs1.count() == 2
+
+    # batch 2: one cross-batch dup, one in-batch dup pair, one fresh doc
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    kept2, sigs2 = exact_dedup_incremental(b2, sigs1)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11, 13]
+    # kept keeps ALL original columns
+    assert set(kept2.columns) == {"doc_id", "text"}
+    assert sigs2.count() == 2
+
+    # appending sigs makes a third batch drop everything seen so far
+    store = sigs1.unionByName(sigs2)
+    b3 = spark.createDataFrame(
+        [(20, "alpha"), (21, "gamma"), (22, "delta")], ["doc_id", "text"]
+    )
+    kept3, _ = exact_dedup_incremental(b3, store)
+    assert kept3.count() == 0
+
+    # signature_frame of the kept union == the store contents
+    full = b1.unionByName(b2)
+    kept_all = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (11, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    a = {tuple(r) for r in signature_frame(kept_all).collect()}
+    b = {tuple(r) for r in store.collect()}
+    assert a == b
