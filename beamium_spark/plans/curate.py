@@ -18,11 +18,14 @@ that surface, composing the library's hardened operators:
 4. quality filter       — operators.textstats.quality_score ≥ threshold
 5. repetition filter    — dup-line / top-bigram fractions under caps
                           (operators.textstats.repetition_stats)
-6. sampling (optional)  — deterministic hash_sample fraction
+6. span-dup filter (opt)— corpus-wide duplicated-passage coverage cap
+                          (operators.spandedup.duplicate_span_stats)
+7. sampling (optional)  — deterministic hash_sample fraction
 
 Everything materializes in ONE job: verdict columns are computed lazily,
 drop reasons resolve by fixed precedence (duplicate > contaminated >
-low_quality > repetitive > sampled_out), and the report is a single
+low_quality > repetitive > span_dup > sampled_out), and the report is a
+single
 aggregation over the verdict frame — no per-stage count() round trips
 re-scanning the corpus.
 
@@ -62,6 +65,8 @@ def curation_verdicts(
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
     near_dup_threshold: float | None = None,
+    max_span_dup_frac: float | None = None,
+    span_n: int = 13,
     seed: int = 42,
     portable_sample: bool = False,
     broadcast_ids: bool | int = True,
@@ -79,6 +84,15 @@ def curation_verdicts(
     near-dedup — each cluster keeps its min-id representative, every
     other member drops as 'near_duplicate' (exact copies still report
     'duplicate': that stage wins precedence).
+
+    ``max_span_dup_frac`` (e.g. 0.5) adds the duplicated-passage filter:
+    docs whose corpus-wide duplicated-span coverage
+    (operators.spandedup.duplicate_span_stats at ``span_n``-gram
+    granularity) exceeds the cap drop as 'span_dup' — boilerplate-heavy
+    pages that survive document-level dedup. This stage adds one
+    gram-hash shuffle over the corpus (the only curation stage whose
+    cost is token-bounded rather than id-bounded); leave it None when
+    the cheap per-doc repetition caps suffice.
 
     ``broadcast_ids`` governs the small-side hints on the doomed/flagged
     id joins (and flows into MinHash verification): the default True is
@@ -153,6 +167,18 @@ def curation_verdicts(
         F.col("top_bigram_frac") > max_top_bigram_frac
     )
 
+    if max_span_dup_frac is not None:
+        from beamium_spark.operators.spandedup import duplicate_span_stats
+
+        sd = duplicate_span_stats(
+            docs, n=span_n, id_col=id_col, text_col=text_col
+        ).select(F.col("id").alias(id_col), "dup_fraction")
+        # corpus-sized narrow frame: plain id equi-join, never broadcast
+        v = v.join(sd, id_col, "left")
+        span_bad = F.col("dup_fraction") > max_span_dup_frac
+    else:
+        span_bad = F.lit(False)
+
     if sample_fraction is not None:
         from beamium_spark.operators.sampling import _md5_unit_hash, _unit_hash
 
@@ -171,6 +197,7 @@ def curation_verdicts(
         .when(F.col("__contam"), F.lit("contaminated"))
         .when(F.col("__q") < min_quality, F.lit("low_quality"))
         .when(rep_bad, F.lit("repetitive"))
+        .when(span_bad, F.lit("span_dup"))
         .when(~sampled_in, F.lit("sampled_out"))
     )
     return (
@@ -178,7 +205,7 @@ def curation_verdicts(
         .withColumn("kept", F.col("reason").isNull())
         .drop(
             "__dup_keep", "__near", "__contam", "__q",
-            "dup_line_frac", "top_bigram_frac",
+            "dup_line_frac", "top_bigram_frac", "dup_fraction",
         )
     )
 

@@ -171,3 +171,46 @@ def test_curate_materialize_near_dup_and_broadcast_off(spark):
     )
     assert _sql_cache_empty(spark)
     assert sorted(r["doc_id"] for r in clean_m.collect()) == want
+
+
+def test_curate_span_dup_stage(spark):
+    """max_span_dup_frac drops boilerplate-heavy docs that survive
+    document-level dedup; precedence places span_dup after repetitive
+    and ahead of sampled_out; default-off leaves verdicts unchanged."""
+    boiler = " ".join(f"nav{i}" for i in range(20))  # 20-word shared block
+    body_a = (
+        "the quick brown fox jumps over the lazy dog and it was that good "
+        "for everyone in the field to see it happen again and again today"
+    )
+    body_b = (
+        "a completely different article about the weather and it was that "
+        "nice for all of the people who came to the market in the morning"
+    )
+    body_c = " ".join(f"word{i}" for i in range(25)) + " and some more here"
+    rows = [
+        (1, body_a + " " + boiler),                 # 20/47 ≈ 0.43 span-dup
+        (2, body_b + " " + boiler),                 # 20/45 ≈ 0.44 span-dup
+        (3, boiler + " only the tiny tail is unique for this one here"),
+        (4, body_c),                                # fully unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    v = {
+        r["doc_id"]: (r["kept"], r["reason"])
+        for r in curation_verdicts(docs, max_span_dup_frac=0.5).collect()
+    }
+    assert v[3] == (False, "span_dup")      # boiler dominates: 20/31
+    assert v[1][0] and v[2][0]              # below the cap: kept
+    assert v[4][0]
+
+    # default-off: nothing reports span_dup
+    v0 = {
+        r["doc_id"]: r["reason"] for r in curation_verdicts(docs).collect()
+    }
+    assert "span_dup" not in set(v0.values())
+
+    # report surfaces the new outcome through curate()
+    clean, report = curate(docs, max_span_dup_frac=0.5)
+    rep = {r["outcome"]: r["n"] for r in report.collect()}
+    assert rep.get("span_dup") == 1
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 4]
