@@ -157,6 +157,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_perms(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The seeded affine-permutation constants (a_k, b_k) shared by every
+    MinHash path — exposed so oracle/SQL generators can embed the exact
+    same literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 128,
@@ -165,6 +175,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     impl: str = "arrow",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash over word n-gram xxhash64 values
     with ``num_hashes`` seeded affine permutations h_k(x) = (a_k·x+b_k) mod P.
@@ -182,12 +193,10 @@ def minhash_signatures(
     columns — re-inlines the whole gram+hash build into every permutation
     (Catalyst collapses the projections), costing 128× the tokenization
     work per row; both impls here avoid that."""
-    import random
-
-    rng = random.Random(seed)
-    perms = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    perms = minhash_perms(num_hashes, seed)
     grams = _word_ngrams(F.col(text_col), n)
-    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
+    token_hash = portable_hash60 if hash_mode == "md5" else F.xxhash64
+    hashes = F.transform(grams, lambda g: F.pmod(token_hash(g), F.lit(_P)))
     base = docs.select(
         F.col(id_col).alias("id"), hashes.alias("__h"), grams.alias("__grams")
     )
@@ -259,25 +268,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, seed, text_col, id_col).cache()
     registry: list[DataFrame] = [sigs]
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", bi * rows + r + 1)
-                                for r in range(rows)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
+    banded = _band_keys(sigs, bands, rows)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -821,3 +812,123 @@ def exact_dedup_incremental(
         winners.select(F.col("__id").alias(id_col)), id_col
     )
     return kept, winners.select("h1", "h2")
+
+
+def _band_keys(
+    sigs: DataFrame, bands: int, rows: int, portable: bool = False
+) -> DataFrame:
+    """(id, band, bh) — one LSH bucket key per band from a signature
+    frame. ``portable=False`` (production) folds each band's ``rows``
+    minima through xxhash64 into a cheap 8-byte key; ``portable=True``
+    concatenates them as a string, which any engine (the DuckDB oracle)
+    reproduces verbatim — wider keys, identical bucketing semantics."""
+
+    def _bh(bi: int):
+        vals = [F.element_at("sig", bi * rows + r + 1) for r in range(rows)]
+        if portable:
+            return F.concat_ws("-", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals).cast("string")
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), _bh(bi).alias("bh"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+
+
+def band_frame(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bh): a document's MinHash-LSH bucket keys — the
+    persistable NEAR-dup state for :func:`minhash_dedup_incremental`,
+    the banded analog of :func:`signature_frame`. ``bands`` rows of
+    ~(8+1+8) bytes per doc; write it clustered by (band, bh) so
+    incremental probes co-locate. ``hash_mode='md5'`` +
+    portable (string) band keys make the frame engine-neutral so a SQL
+    oracle can rebuild it bit-for-bit; production keeps xxhash64."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, num_hashes, n, seed, text_col, id_col, hash_mode=hash_mode
+    )
+    return _band_keys(sigs, bands, rows, portable=(hash_mode == "md5"))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    seen_bands: DataFrame | None = None,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl NEAR-dup dedup: drop new docs that LSH-collide
+    with the accumulated corpus — without rescanning it — via the
+    persisted :func:`band_frame` state; the near-dup sibling of
+    :func:`exact_dedup_incremental`, matching the engine's chunked
+    ingest model.
+
+    Decision rule (bucket-winner, deterministic): a new doc is dropped
+    iff some band bucket of its contains (a) any key already in
+    ``seen_bands``, or (b) a smaller-``id_col`` doc of the same batch.
+    This is the LSH-only approximation used by at-scale dedup pipelines:
+    cross-batch there is no exact verification (the store holds band
+    keys, never grams — at 10^12 docs grams don't persist), so
+    collisions are accepted at the banding's false-positive rate
+    (P[j] = 1-(1-j^rows)^bands; tune bands/rows to taste). Within a
+    batch the rule is greedy-by-id rather than connected components —
+    for the exact-verified transitive form run the batch path
+    (:func:`minhash_lsh_pairs` → :func:`cluster_representatives`).
+
+    Returns ``(kept, new_bands)``:
+
+    - ``kept`` — surviving rows of ``new_docs`` (all columns);
+    - ``new_bands`` — band keys of the kept rows; append to the store so
+      the next batch sees them (first-batch-wins across the stream).
+
+    Scale shape: band keys are ~17 bytes × bands per doc; the batch side
+    of every join/aggregate is bounded by the BATCH, and the store side
+    probes by (band, bh) equality — clustered store files prune to the
+    touched buckets. Document bodies re-attach by id at the end and
+    never enter an exchange.
+    """
+    bnew = band_frame(
+        new_docs, num_hashes, bands, n, seed, text_col, id_col, hash_mode
+    )
+    # (b) within-batch bucket winners: doc loses any bucket holding a
+    # smaller id
+    wmin = bnew.groupBy("band", "bh").agg(F.min("id").alias("__wid"))
+    losers = (
+        bnew.join(wmin, ["band", "bh"])
+        .filter(F.col("id") != F.col("__wid"))
+        .select("id")
+    )
+    # (a) any bucket already present in the store
+    if seen_bands is not None:
+        hit = bnew.join(
+            seen_bands.select("band", "bh"), ["band", "bh"], "left_semi"
+        ).select("id")
+        losers = losers.unionByName(hit)
+    dropped = losers.distinct()
+    kept = new_docs.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    new_bands = bnew.join(
+        dropped, "id", "left_anti"
+    ).select("id", "band", "bh")
+    return kept, new_bands
