@@ -10,7 +10,7 @@ to ``text`` only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles (public common-word lists)
@@ -262,3 +262,71 @@ def token_frequencies(docs, k: int = 100, text_col: str = "text"):
     topk = counted.orderBy(F.desc("n"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))  # k rows only
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def domain_stats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    min_score: float = 0.5,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Per-domain reputation aggregates for crawl curation (the
+    domain-level pass RefinedWeb/C4-style pipelines run BEFORE per-doc
+    filtering: a host whose pages are mostly duplicated or low-quality is
+    dropped wholesale, which is both cheaper and safer than judging its
+    pages one by one).
+
+    Output per domain: ``n_docs``, ``mean_score`` (mean of the per-doc
+    :func:`quality_score`), ``dup_frac`` (1 − distinct/total by the
+    128-bit double text hash — same identity contract as
+    ``dedup.exact_dedup``), and ``flagged`` (mean_score < ``min_score``
+    OR dup_frac > ``max_dup_frac``).
+
+    Scale shape: ONE hash aggregation keyed by domain over narrow rows
+    (domain, score, h1, h2) — the score is computed map-side as a pure
+    projection, so nothing wider than ~40 bytes per doc enters the
+    exchange, and the output is bounded by the domain count (~10^8 hosts
+    at web scale, trivially partitioned). The distinct-count inside the
+    group uses ``count_distinct(h1, h2)`` — exact, no second shuffle.
+    """
+    score = quality_score(F.col(text_col))
+    narrow = docs.select(
+        F.col(domain_col).alias("domain"),
+        score.alias("__s"),
+        F.xxhash64(text_col).alias("__h1"),
+        F.xxhash64(F.lit("bmds2"), F.col(text_col)).alias("__h2"),
+    )
+    agg = narrow.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__s"), 6).alias("mean_score"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("__h1", "__h2") / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+    return agg.withColumn(
+        "flagged",
+        (F.col("mean_score") < min_score) | (F.col("dup_frac") > max_dup_frac),
+    )
+
+
+def flag_by_domain(
+    docs: DataFrame,
+    domains: DataFrame,
+    domain_col: str = "source",
+    broadcast_domains: bool = True,
+) -> DataFrame:
+    """Join the :func:`domain_stats` verdicts back onto the corpus:
+    adds ``domain_flagged`` (False for domains absent from ``domains``,
+    e.g. when stats came from an earlier snapshot). The domain table is
+    broadcast by default (bounded by host count, narrow columns); pass
+    ``broadcast_domains=False`` to sort-merge when it outgrows the
+    driver — the ``broadcast_ids`` contract of ``operators.dedup``."""
+    d = domains.select(
+        F.col("domain").alias(domain_col), F.col("flagged").alias("domain_flagged")
+    )
+    if broadcast_domains:
+        d = F.broadcast(d)
+    return docs.join(d, domain_col, "left").withColumn(
+        "domain_flagged", F.coalesce("domain_flagged", F.lit(False))
+    )

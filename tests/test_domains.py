@@ -1,0 +1,60 @@
+"""Domain reputation stats: aggregates, flag thresholds, corpus join-back."""
+
+from pyspark.sql import Row
+
+from beamium_spark.operators.textstats import domain_stats, flag_by_domain
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs back "
+    "to the barn where the farmer keeps the grain for the long winter"
+)
+SPAM = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, source="good.com", text=GOOD),
+        Row(doc_id=2, source="good.com", text=GOOD + " indeed"),
+        Row(doc_id=3, source="dupfarm.net", text=SPAM),
+        Row(doc_id=4, source="dupfarm.net", text=SPAM),
+        Row(doc_id=5, source="dupfarm.net", text=SPAM),
+        Row(doc_id=6, source="dupfarm.net", text=GOOD),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_domain_stats_values(spark):
+    out = {r.domain: r for r in domain_stats(_docs(spark)).collect()}
+    g = out["good.com"]
+    assert g.n_docs == 2 and g.dup_frac == 0.0 and not g.flagged
+    assert g.mean_score == 1.0
+    d = out["dupfarm.net"]
+    assert d.n_docs == 4
+    assert abs(d.dup_frac - 0.5) < 1e-9  # 2 distinct texts / 4 docs
+    assert d.flagged  # mean score low AND dup_frac at threshold edge
+
+
+def test_flag_thresholds(spark):
+    # loose thresholds: nothing flagged
+    out = domain_stats(_docs(spark), min_score=0.0, max_dup_frac=0.9).collect()
+    assert not any(r.flagged for r in out)
+
+
+def test_flag_by_domain_join_back(spark):
+    docs = _docs(spark)
+    stats = domain_stats(docs)
+    flagged = flag_by_domain(docs, stats)
+    got = {r.doc_id: r.domain_flagged for r in flagged.collect()}
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: True, 6: True}
+    # unseen domain defaults to not-flagged
+    extra = spark.createDataFrame([Row(doc_id=9, source="new.org", text=GOOD)])
+    got2 = flag_by_domain(extra, stats).collect()[0]
+    assert got2.domain_flagged is False
+
+
+def test_no_broadcast_fallback_matches(spark):
+    docs = _docs(spark)
+    stats = domain_stats(docs)
+    a = sorted(map(tuple, flag_by_domain(docs, stats, broadcast_domains=True).collect()))
+    b = sorted(map(tuple, flag_by_domain(docs, stats, broadcast_domains=False).collect()))
+    assert a == b
