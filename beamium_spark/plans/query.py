@@ -50,6 +50,12 @@ def parse_step(step: str | int) -> int:
         return step
     if step in _STEP_SECONDS:
         return _STEP_SECONDS[step]
+    from beamium_spark.operators.rollup import window_seconds
+
+    try:
+        return window_seconds(step)  # Spark interval form ('10 minutes')
+    except ValueError:
+        pass
     from beamium_spark.conf import parse_duration_ms
 
     return parse_duration_ms(step, 1000) // 1000
@@ -108,6 +114,7 @@ def query(
     anomaly: int | None = None,
     anomaly_threshold: float = 3.0,
     blocks_table: str = "blocks",
+    render: str | None = None,
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
 
@@ -142,6 +149,15 @@ def query(
     flagged when |z| > ``anomaly_threshold``. Applied after agg/fill/
     smooth/rate, so alerts read the same series the dashboard shows.
 
+    ``render='m4'`` answers CHART reads: one row per (series, step)
+    carrying the four M4 extreme points (first/min/max/last with their
+    timestamps — operators/downsample.py), recomputed from the
+    chunk-pruned raw-fidelity block store because pixel-exact rendering
+    needs real point times, which fixed-grid tier rows truncated away.
+    Use ``step`` = range/chart-width. Returns the M4 wide schema;
+    agg/fill/smooth/rate/stat/session_gap do not apply and are rejected
+    if combined.
+
     ``session_gap='5 minutes'`` answers SESSION reads the same way:
     activity bursts recomputed from the chunk-pruned block store via
     ``session_rollup`` (gap merging cannot re-roll from fixed-grid tier
@@ -162,6 +178,26 @@ def query(
     if isinstance(end, str):
         end = dt.datetime.fromisoformat(end)
     step_s = parse_step(step)
+
+    if render is not None:
+        if render != "m4":
+            raise ValueError(f"render must be 'm4', got {render!r}")
+        if (
+            stat is not None
+            or fill is not None
+            or smooth is not None
+            or rate
+            or anomaly is not None
+            or session_gap is not None
+        ):
+            raise ValueError(
+                "render is exclusive with stat/fill/smooth/rate/anomaly/"
+                "session_gap"
+            )
+        from beamium_spark.operators.downsample import m4_downsample
+
+        pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
+        return m4_downsample(pts, window=f"{step_s} seconds")
 
     if session_gap is not None:
         if stat is not None or fill is not None or smooth is not None or rate \

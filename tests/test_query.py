@@ -245,3 +245,39 @@ def test_query_session_read_from_blocks(spark, store):
     with pytest.raises(ValueError, match="exclusive"):
         query(store, "act", t0, t0 + dt.timedelta(hours=1),
               session_gap="5 minutes", smooth=2)
+
+
+def test_query_m4_render_from_blocks(spark, store):
+    """render='m4' recomputes pixel-column extremes from the block store:
+    equals m4_downsample straight from the points, and rejects the
+    grid-shaping knobs."""
+    from beamium_spark.operators.blocks import encode_blocks
+    from beamium_spark.operators.downsample import m4_downsample
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (0, "viz", t0 + dt.timedelta(minutes=m, seconds=7), float((m * 13) % 9))
+        for m in range(90)
+    ]
+    pts = spark.createDataFrame(
+        rows, "bucket int, metric string, ts timestamp, value double"
+    )
+    store.write_chunks(encode_blocks(pts, "1 hour"), "blocks")
+
+    out = sorted(
+        query(
+            store, "viz", t0, t0 + dt.timedelta(hours=2), step="10 minutes",
+            render="m4",
+        ).collect()
+    )
+    want = sorted(m4_downsample(pts, "10 minutes").collect())
+    assert [tuple(r) for r in out] == [tuple(r) for r in want]
+    assert len(out) == 9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exclusive"):
+        query(store, "viz", t0, t0 + dt.timedelta(hours=1), render="m4",
+              fill="zero")
+    with _pytest.raises(ValueError, match="render must be"):
+        query(store, "viz", t0, t0 + dt.timedelta(hours=1), render="lttb")
