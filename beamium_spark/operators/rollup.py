@@ -338,6 +338,47 @@ def tier_moving_agg(
     return out
 
 
+def tier_ewma(
+    tier: DataFrame,
+    alpha: float = 0.3,
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """Exponentially-weighted moving average over each (bucket, metric)
+    tier series: ``y_i = α·x_i + (1-α)·y_{i-1}``, ``y_1 = x_1`` (the
+    recursive/adjust-False form — PromQL's smoothing family,
+    ``holt_winters``' level component without trend).
+
+    Unlike :func:`tier_moving_agg`, the recursion makes every output
+    depend on ALL earlier rows of its series — no SQL window frame
+    expresses that, and the closed form ``(1-α)^{-i}`` overflows for
+    long series — so this is the one tier operator implemented as a
+    grouped Arrow pass: ``applyInPandas`` per series, vectorized
+    ``Series.ewm`` inside. Scale contract: a SERIES' tier rows are
+    bounded by time-span/window (the same argument as
+    :func:`tier_rate`), so one series per task fits comfortably even at
+    10^12 raw docs; the shuffle is the usual (bucket, metric) key.
+
+    Output: (bucket, metric, window_start, value, ewma).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values("window_start")
+        pdf["value"] = pdf["__x"].astype("float64")
+        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[["bucket", "metric", "window_start", "value", "ewma"]]
+
+    narrow = tier.select(
+        "bucket", "metric", "window_start", F.col(value_col).alias("__x")
+    )
+    return narrow.groupBy("bucket", "metric").applyInPandas(
+        _ewm,
+        "bucket int, metric string, window_start timestamp, "
+        "value double, ewma double",
+    )
+
+
 def tier_anomalies(
     tier: DataFrame,
     k: int = 20,

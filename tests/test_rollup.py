@@ -503,3 +503,39 @@ def test_tier_binary_op(spark):
         tier_binary_op(tier, "a", "b", "%")
     with pytest.raises(ValueError):
         tier_binary_op(tier, "a", "b", "/", stat="p95")
+
+
+def test_tier_ewma_recursive_values(spark):
+    """EWMA matches the hand-rolled recursion per series; first row
+    equals its input; alpha validated."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_ewma
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    series = [("a", [1.0, 5.0, 3.0, 7.0]), ("b", [10.0, 10.0, 2.0])]
+    for m, vals in series:
+        for i, v in enumerate(vals):
+            rows.append((0, m, t0 + dt.timedelta(minutes=i), v))
+    tier = spark.createDataFrame(
+        rows, "bucket int, metric string, window_start timestamp, sum_value double"
+    )
+    out = tier_ewma(tier, alpha=0.3)
+    got = {
+        (r.metric, r.window_start): (r.value, r.ewma) for r in out.collect()
+    }
+    for m, vals in series:
+        y = vals[0]
+        expect = [y]
+        for x in vals[1:]:
+            y = 0.3 * x + 0.7 * y
+            expect.append(y)
+        for i, (x, e) in enumerate(zip(vals, expect)):
+            v, w = got[(m, t0 + dt.timedelta(minutes=i))]
+            assert v == x
+            assert abs(w - e) < 1e-12, (m, i)
+    with _pytest.raises(ValueError, match="alpha"):
+        tier_ewma(tier, alpha=0.0)
