@@ -20,12 +20,16 @@ that surface, composing the library's hardened operators:
                           (operators.textstats.repetition_stats)
 6. span-dup filter (opt)— corpus-wide duplicated-passage coverage cap
                           (operators.spandedup.duplicate_span_stats)
-7. sampling (optional)  — deterministic hash_sample fraction
+7. domain gate (opt)    — drop flagged hosts wholesale
+                          (operators.textstats.domain_stats)
+8. LM fluency (opt)     — bigram-LM mean log-likelihood floor
+                          (operators.lm — CCNet-style)
+9. sampling (optional)  — deterministic hash_sample fraction
 
 Everything materializes in ONE job: verdict columns are computed lazily,
-drop reasons resolve by fixed precedence (duplicate > contaminated >
-low_quality > repetitive > span_dup > sampled_out), and the report is a
-single
+drop reasons resolve by fixed precedence (duplicate > near_duplicate >
+contaminated > bad_domain > low_quality > lm_low > repetitive >
+span_dup > sampled_out), and the report is a single
 aggregation over the verdict frame — no per-stage count() round trips
 re-scanning the corpus.
 
@@ -67,6 +71,11 @@ def curation_verdicts(
     near_dup_threshold: float | None = None,
     max_span_dup_frac: float | None = None,
     span_n: int = 13,
+    min_lm_logprob: float | None = None,
+    lm_min_count: int = 5,
+    domain_col: str | None = None,
+    domain_min_score: float = 0.5,
+    domain_max_dup_frac: float = 0.5,
     seed: int = 42,
     portable_sample: bool = False,
     broadcast_ids: bool | int = True,
@@ -77,8 +86,9 @@ def curation_verdicts(
     """docs + (kept boolean, reason string|NULL) — the full audit frame.
 
     ``reason`` is the FIRST failing stage in precedence order
-    (duplicate > near_duplicate > contaminated > low_quality >
-    repetitive > sampled_out); ``kept`` ⇔ reason IS NULL. Benchmark None
+    (duplicate > near_duplicate > contaminated > bad_domain >
+    low_quality > lm_low > repetitive > span_dup > sampled_out);
+    ``kept`` ⇔ reason IS NULL. Benchmark None
     skips decontamination; sample_fraction None skips sampling;
     ``near_dup_threshold`` (a Jaccard level, e.g. 0.8) adds MinHash-LSH
     near-dedup — each cluster keeps its min-id representative, every
@@ -93,6 +103,19 @@ def curation_verdicts(
     gram-hash shuffle over the corpus (the only curation stage whose
     cost is token-bounded rather than id-bounded); leave it None when
     the cheap per-doc repetition caps suffice.
+
+    ``min_lm_logprob`` (e.g. -6.0) adds the CCNet-style fluency filter:
+    a bigram LM is trained ON the corpus (operators.lm, vocab cutoff
+    ``lm_min_count``) and docs whose mean bigram log-likelihood falls
+    below the threshold drop as 'lm_low' — gibberish/OCR noise that
+    per-doc ratio features miss. Adds two token-bounded corpus scans
+    (unigram + bigram counting) and one scoring pass.
+
+    ``domain_col`` (e.g. 'source') adds the domain-reputation gate:
+    domains whose mean quality score < ``domain_min_score`` or exact-dup
+    fraction > ``domain_max_dup_frac`` (operators.textstats.domain_stats)
+    drop wholesale as 'bad_domain'. One narrow domain-keyed aggregation;
+    the verdict table is broadcast-joined back (bounded by host count).
 
     ``broadcast_ids`` governs the small-side hints on the doomed/flagged
     id joins (and flows into MinHash verification): the default True is
@@ -157,7 +180,41 @@ def curation_verdicts(
     else:
         v = v.withColumn("__contam", F.lit(False))
 
+    if domain_col is not None:
+        from beamium_spark.operators.textstats import domain_stats
+
+        bad = (
+            domain_stats(
+                docs,
+                domain_col=domain_col,
+                text_col=text_col,
+                min_score=domain_min_score,
+                max_dup_frac=domain_max_dup_frac,
+            )
+            .filter(F.col("flagged"))
+            .select(F.col("domain").alias(domain_col), F.lit(True).alias("__bad_dom"))
+        )
+        # bounded by host count — same small-side contract as the id joins
+        v = v.join(_maybe_broadcast(bad, broadcast_ids), domain_col, "left").withColumn(
+            "__bad_dom", F.coalesce("__bad_dom", F.lit(False))
+        )
+    else:
+        v = v.withColumn("__bad_dom", F.lit(False))
+
     v = v.withColumn("__q", quality_score(F.col(text_col)))
+
+    if min_lm_logprob is not None:
+        from beamium_spark.operators.lm import score_bigram_lm, train_bigram_lm
+
+        lm = train_bigram_lm(docs, text_col=text_col, min_count=lm_min_count)
+        lp = score_bigram_lm(docs, lm, id_col=id_col, text_col=text_col).select(
+            id_col, "avg_logprob"
+        )
+        # corpus-sized narrow frame: plain id equi-join, never broadcast
+        v = v.join(lp, id_col, "left")
+        lm_bad = F.col("avg_logprob") < min_lm_logprob  # NULL (short doc) passes
+    else:
+        lm_bad = F.lit(False)
 
     rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
         F.col("id").alias(id_col), "dup_line_frac", "top_bigram_frac"
@@ -195,7 +252,9 @@ def curation_verdicts(
         F.when(~F.col("__dup_keep"), F.lit("duplicate"))
         .when(F.col("__near"), F.lit("near_duplicate"))
         .when(F.col("__contam"), F.lit("contaminated"))
+        .when(F.col("__bad_dom"), F.lit("bad_domain"))
         .when(F.col("__q") < min_quality, F.lit("low_quality"))
+        .when(lm_bad, F.lit("lm_low"))
         .when(rep_bad, F.lit("repetitive"))
         .when(span_bad, F.lit("span_dup"))
         .when(~sampled_in, F.lit("sampled_out"))
@@ -204,8 +263,8 @@ def curation_verdicts(
         v.withColumn("reason", reason)
         .withColumn("kept", F.col("reason").isNull())
         .drop(
-            "__dup_keep", "__near", "__contam", "__q",
-            "dup_line_frac", "top_bigram_frac", "dup_fraction",
+            "__dup_keep", "__near", "__contam", "__bad_dom", "__q",
+            "dup_line_frac", "top_bigram_frac", "dup_fraction", "avg_logprob",
         )
     )
 
@@ -233,7 +292,7 @@ def curate(
       internal near-dedup caches) is the caller's to release
       (``spark.catalog.clearCache()``) — right for one-shot batch jobs.
     - ``materialize=True`` — the long-lived-daemon form: NOTHING is left
-      cached. The report (≤ 7 rows, one per outcome) is computed eagerly
+      cached. The report (≤ 10 rows, one per outcome) is computed eagerly
       and returned as a driver-local frame, near-dedup internals release
       their caches as they finish, and ``clean`` stays a pure lazy plan
       that re-derives verdicts at the caller's action — one extra corpus

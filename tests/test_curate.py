@@ -214,3 +214,60 @@ def test_curate_span_dup_stage(spark):
     rep = {r["outcome"]: r["n"] for r in report.collect()}
     assert rep.get("span_dup") == 1
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 4]
+
+
+def test_curate_lm_stage(spark):
+    """min_lm_logprob drops gibberish as 'lm_low'; precedence keeps
+    duplicate/low_quality labels ahead of it."""
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and it was that good "
+        "for everyone in the field to see it happen again and again today"
+    )
+    gibberish = (
+        "zq xv qq zx vq xz qv zz xx vv wq qw vx zv qx wz zw xw wx vw wv qz "
+        "and the of to in is that it for was"  # enough stopwords/words to
+    )  # pass the quality gate — only the LM sees the problem
+    rows = [(i, fluent + f" v{i}") for i in range(1, 9)] + [(9, gibberish)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    v = curation_verdicts(docs, min_lm_logprob=None)
+    assert all(r["kept"] for r in v.collect())  # all pass without the stage
+
+    scores = None
+    from beamium_spark.operators.lm import score_bigram_lm, train_bigram_lm
+
+    lm = train_bigram_lm(docs, min_count=5)
+    scores = {r.doc_id: r.avg_logprob for r in score_bigram_lm(docs, lm).collect()}
+    # pick a threshold separating the gibberish doc from the fluent ones
+    thr = (max(v for k, v in scores.items() if k == 9)
+           + min(v for k, v in scores.items() if k != 9)) / 2
+    assert scores[9] < thr
+
+    v2 = {r.doc_id: r for r in curation_verdicts(
+        docs, min_lm_logprob=thr, lm_min_count=5).collect()}
+    assert v2[9].reason == "lm_low" and not v2[9].kept
+    assert all(v2[i].kept for i in range(1, 9))
+
+
+def test_curate_domain_stage(spark):
+    """domain_col drops flagged hosts wholesale as 'bad_domain'; exact
+    duplicates still report 'duplicate' (precedence)."""
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and it was that good "
+        "for everyone in the field to see it happen again and again today"
+    )
+    spamtext = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"
+    rows = [(i, "good.com", fluent + f" v{i}") for i in range(1, 5)]
+    rows += [(10, "farm.net", spamtext), (11, "farm.net", spamtext),
+             (12, "farm.net", spamtext + " x")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    v = {r.doc_id: r for r in curation_verdicts(
+        docs, domain_col="source", min_quality=0.0).collect()}
+    # farm.net: low mean score → flagged; 11 is an exact dup of 10 and
+    # duplicate wins precedence over bad_domain
+    assert v[11].reason == "duplicate"
+    assert v[10].reason == "bad_domain" and v[12].reason == "bad_domain"
+    assert all(v[i].kept for i in range(1, 5))
+
+    clean, report = curate(docs, domain_col="source", min_quality=0.0)
+    rep = {r["outcome"]: r["n"] for r in report.collect()}
+    assert rep == {"kept": 4, "duplicate": 1, "bad_domain": 2}
