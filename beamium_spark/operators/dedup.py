@@ -932,3 +932,47 @@ def minhash_dedup_incremental(
         dropped, "id", "left_anti"
     ).select("id", "band", "bh")
     return kept, new_bands
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Churn between two corpus snapshots: one row per key with status
+    ``added`` | ``removed`` | ``changed`` | ``unchanged`` — the
+    continuous-crawl bookkeeping pass (what changed since the last WARC
+    drop decides what re-enters the curation pipeline; everything
+    ``unchanged`` keeps its verdicts and its tier contributions).
+
+    Keys (crawl URLs / doc ids) are assumed unique per snapshot — the
+    crawl-table contract; duplicate keys should be resolved by
+    :func:`exact_dedup` / ``url_dedup`` first.
+
+    Scale shape: each side reduces to (key, h1, h2) — the same 128-bit
+    double-hash identity as :func:`exact_dedup`, ~24 B/row — BEFORE a
+    single full-outer key join; document bodies never enter the
+    exchange. Output is key + status only, so downstream joins (e.g.
+    re-curating only ``added``+``changed``) stay narrow too.
+    """
+
+    def _sig(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.xxhash64(text_col).alias(f"__h1_{tag}"),
+            F.xxhash64(F.lit("bmsd2"), F.col(text_col)).alias(f"__h2_{tag}"),
+        )
+
+    j = _sig(old, "o").join(_sig(new, "n"), key_col, "full_outer")
+    status = (
+        F.when(F.col("__h1_o").isNull(), F.lit("added"))
+        .when(F.col("__h1_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("__h1_o") == F.col("__h1_n"))
+            & (F.col("__h2_o") == F.col("__h2_n")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(key_col, status.alias("status"))

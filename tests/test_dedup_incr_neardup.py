@@ -83,3 +83,12 @@ def test_signatures_hash_modes_differ_but_stable(spark):
     s3 = minhash_signatures(docs, 16, hash_mode="md5").collect()[0].sig
     assert s1 == s2
     assert s1 != s3
+
+
+def test_snapshot_diff_statuses(spark):
+    from beamium_spark.operators.dedup import snapshot_diff
+
+    old = _df(spark, [(1, "alpha"), (2, "beta"), (3, "gamma")])
+    new = _df(spark, [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")])
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
