@@ -330,3 +330,38 @@ def flag_by_domain(
     return docs.join(d, domain_col, "left").withColumn(
         "domain_flagged", F.coalesce("domain_flagged", F.lit(False))
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-ROW corpus health summary — the dashboard aggregate a curation
+    run starts and ends with: ``n_docs``, ``n_distinct_texts`` (128-bit
+    double-hash identity), ``dup_frac``, ``total_ws_tokens``,
+    ``avg_chars``, ``mean_score`` (mean per-doc :func:`quality_score`).
+
+    Scale shape: a single hash aggregation over map-side-computed narrow
+    scalars (two 8-byte hashes, token/char counts, the score) — one
+    reduce to one row; the exact distinct-count is the only part that
+    keeps per-key state and it runs over 16-byte pairs, the same
+    contract as ``dedup.exact_dedup``.
+    """
+    t = F.col(text_col)
+    narrow = docs.select(
+        F.xxhash64(text_col).alias("__h1"),
+        F.xxhash64(F.lit("bmcr2"), t).alias("__h2"),
+        F.size(words(t)).cast("long").alias("__w"),
+        F.length(t).cast("long").alias("__c"),
+        quality_score(t).alias("__s"),
+    )
+    return narrow.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("__h1", "__h2").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("__h1", "__h2") / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+        F.sum("__w").alias("total_ws_tokens"),
+        F.round(F.avg("__c"), 6).alias("avg_chars"),
+        F.round(F.avg("__s"), 6).alias("mean_score"),
+    )

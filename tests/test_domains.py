@@ -58,3 +58,30 @@ def test_no_broadcast_fallback_matches(spark):
     a = sorted(map(tuple, flag_by_domain(docs, stats, broadcast_domains=True).collect()))
     b = sorted(map(tuple, flag_by_domain(docs, stats, broadcast_domains=False).collect()))
     assert a == b
+
+
+def test_corpus_report_values(spark):
+    from pyspark.sql import Row as _Row
+
+    from beamium_spark.operators.textstats import corpus_report
+
+    docs = spark.createDataFrame(
+        [_Row(doc_id=1, text=GOOD), _Row(doc_id=2, text=GOOD), _Row(doc_id=3, text=SPAM)]
+    )
+    r = corpus_report(docs).collect()[0]
+    assert r.n_docs == 3 and r.n_distinct_texts == 2
+    assert abs(r.dup_frac - (1 - 2 / 3)) < 1e-6
+    assert r.total_ws_tokens == 2 * len(GOOD.split()) + len(SPAM.split())
+    # mean_score must equal the average of the per-doc quality scores
+    from pyspark.sql import functions as F
+
+    from beamium_spark.operators.textstats import quality_score
+
+    scores = [
+        row[0]
+        for row in docs.select(quality_score(F.col("text"))).collect()
+    ]
+    assert r.mean_score == round(sum(scores) / len(scores), 6)
+    assert abs(
+        r.avg_chars - round((2 * len(GOOD) + len(SPAM)) / 3, 6)
+    ) < 1e-9
