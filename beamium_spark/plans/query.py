@@ -115,6 +115,7 @@ def query(
     anomaly_threshold: float = 3.0,
     blocks_table: str = "blocks",
     render: str | None = None,
+    ewma: float | None = None,
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
 
@@ -149,6 +150,13 @@ def query(
     flagged when |z| > ``anomaly_threshold``. Applied after agg/fill/
     smooth/rate, so alerts read the same series the dashboard shows.
 
+    ``ewma=α`` annotates the shaped series with an ``ewma`` column —
+    the recursive exponentially-weighted average
+    (:func:`~beamium_spark.operators.rollup.tier_ewma`, adjust-False) of
+    ``value`` per series, left-joined back so fill columns survive.
+    Exclusive with ``smooth``/``rate`` (they rewrite ``value``; ewma
+    annotates), composes with ``anomaly`` (which still reads ``value``).
+
     ``render='m4'`` answers CHART reads: one row per (series, step)
     carrying the four M4 extreme points (first/min/max/last with their
     timestamps — operators/downsample.py), recomputed from the
@@ -167,6 +175,10 @@ def query(
     """
     if smooth is not None and rate:
         raise ValueError("smooth and rate are mutually exclusive")
+    if ewma is not None and (smooth is not None or rate):
+        raise ValueError("ewma is exclusive with smooth/rate")
+    if ewma is not None and not (0.0 < ewma <= 1.0):
+        raise ValueError(f"ewma must be an alpha in (0, 1], got {ewma}")
     if anomaly is not None and anomaly < 2:
         raise ValueError(f"anomaly baseline width must be >= 2 steps, got {anomaly}")
     if smooth is not None and smooth < 1:
@@ -189,10 +201,11 @@ def query(
             or rate
             or anomaly is not None
             or session_gap is not None
+            or ewma is not None
         ):
             raise ValueError(
                 "render is exclusive with stat/fill/smooth/rate/anomaly/"
-                "session_gap"
+                "ewma/session_gap"
             )
         from beamium_spark.operators.downsample import m4_downsample
 
@@ -201,9 +214,10 @@ def query(
 
     if session_gap is not None:
         if stat is not None or fill is not None or smooth is not None or rate \
-                or anomaly is not None:
+                or anomaly is not None or ewma is not None:
             raise ValueError(
-                "session_gap is exclusive with stat/fill/smooth/rate/anomaly"
+                "session_gap is exclusive with stat/fill/smooth/rate/"
+                "anomaly/ewma"
             )
         from beamium_spark.operators.rollup import session_rollup
 
@@ -256,7 +270,8 @@ def query(
                 )
             )
             out = histogram_quantile(re_binned, qfrac, width)
-            return _shape(out, smooth, rate, step_s, anomaly, anomaly_threshold)
+            return _shape(out, smooth, rate, step_s, anomaly,
+                          anomaly_threshold, ewma)
         pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
         out = (
             pts.groupBy("bucket", "metric", F.window("ts", f"{step_s} seconds").alias("w"))
@@ -265,7 +280,8 @@ def query(
                 "bucket", "metric", F.col("w.start").alias("window_start"), "value"
             )
         )
-        return _shape(out, smooth, rate, step_s, anomaly, anomaly_threshold)
+        return _shape(out, smooth, rate, step_s, anomaly,
+                      anomaly_threshold, ewma)
 
     tier_name, _tier_s = select_tier(store, step_s)
 
@@ -320,7 +336,7 @@ def query(
     if fill is not None:
         cols.append("filled")
     return _shape(re_rolled.select(*cols), smooth, rate, step_s, anomaly,
-                  anomaly_threshold)
+                  anomaly_threshold, ewma)
 
 
 def _shape(
@@ -330,6 +346,7 @@ def _shape(
     step_s: int,
     anomaly: int | None = None,
     anomaly_threshold: float = 3.0,
+    ewma: float | None = None,
 ) -> DataFrame:
     """Post-aggregation smoothing / rate / anomaly annotation shared by
     the tier and percentile read paths — per-series window passes over the
@@ -351,6 +368,16 @@ def _shape(
             else raw_delta
         )
         out = out.withColumn("value", delta / F.lit(float(step_s)))
+    if ewma is not None:
+        from beamium_spark.operators.rollup import tier_ewma
+
+        e = tier_ewma(
+            out.select("bucket", "metric", "window_start", "value"),
+            alpha=ewma,
+            value_col="value",
+        ).select("bucket", "metric", "window_start", "ewma")
+        # dashboard-sized frames; annotate without disturbing fill columns
+        out = out.join(e, ["bucket", "metric", "window_start"], "left")
     if anomaly is not None:
         from beamium_spark.operators.rollup import tier_anomalies
 

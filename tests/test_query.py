@@ -281,3 +281,32 @@ def test_query_m4_render_from_blocks(spark, store):
               fill="zero")
     with _pytest.raises(ValueError, match="render must be"):
         query(store, "viz", t0, t0 + dt.timedelta(hours=1), render="lttb")
+
+
+def test_query_ewma_annotation(store):
+    """ewma=α adds the recursive EWMA column per series; validation
+    enforces exclusivity and the alpha range."""
+    import pytest as _pytest
+
+    t0 = dt.datetime(2025, 1, 1)
+    # zero-fill makes the series alternate value/0 at 1m grain, so the
+    # EWMA recursion has real structure to verify
+    out = sorted(
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=1),
+              step="1 minute", agg="sum", fill="zero", ewma=0.5).collect(),
+        key=lambda r: r["window_start"],
+    )
+    assert len(out) == 60
+    vals = [r["value"] for r in out]
+    assert 0.0 in vals and 4.0 in vals
+    expect = [vals[0]]
+    for x in vals[1:]:
+        expect.append(0.5 * x + 0.5 * expect[-1])
+    got = [r["ewma"] for r in out]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got, expect))
+    assert all(r["filled"] is not None for r in out)  # fill column survives
+    with _pytest.raises(ValueError, match="exclusive"):
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=2),
+              ewma=0.5, smooth=2)
+    with _pytest.raises(ValueError, match="alpha"):
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=2), ewma=1.5)
