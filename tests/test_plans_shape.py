@@ -337,3 +337,92 @@ def test_verify_prune_shapes_both_ways(spark):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def _exchange_blocks(df):
+    """[(node_id, first_line, input/arguments text)] for every Exchange in
+    the formatted plan."""
+    import re
+
+    plan = _formatted_plan(df)
+    _tree, _, details = plan.partition("\n\n")
+    out = []
+    for m in re.finditer(
+        r"^\((\d+)\) (Exchange[^\n]*)\n((?:(?!^\(\d+\) ).*\n?)*)", details, re.M
+    ):
+        blk = m.group(3)
+        inp = "\n".join(
+            ln for ln in blk.splitlines() if ln.startswith(("Input", "Arguments"))
+        )
+        out.append((int(m.group(1)), m.group(2), inp))
+    return out
+
+
+def _assert_no_text_in_exchanges(df, col="text#"):
+    exchanges = _exchange_blocks(df)
+    assert exchanges, "expected at least one Exchange"
+    for nid, first, inp in exchanges:
+        assert col not in inp, (
+            f"exchange {nid} ships the raw document body: {first}\n{inp}"
+        )
+
+
+def test_lm_training_and_scoring_never_shuffle_text(spark):
+    """The bigram LM's shuffles carry tokens/pairs/ids + partial counts —
+    the document body never enters an exchange, in training or scoring
+    (the docstring's scale contract, plan-pinned)."""
+    from beamium_spark.operators.lm import score_bigram_lm, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(docs, min_count=1)
+    _assert_no_text_in_exchanges(lm.uni)
+    _assert_no_text_in_exchanges(lm.big)
+    _assert_no_text_in_exchanges(
+        score_bigram_lm(docs, lm).select("doc_id", "n_bigrams", "avg_logprob")
+    )
+
+
+def test_domain_stats_exchange_is_narrow(spark):
+    """domain_stats' single exchange carries (domain, partial aggs) —
+    score and hashes are computed map-side; text never shuffles."""
+    from beamium_spark.operators.textstats import corpus_report, domain_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "some words here for the score") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    _assert_no_text_in_exchanges(domain_stats(docs))
+    _assert_no_text_in_exchanges(corpus_report(docs))
+
+
+def test_incremental_neardup_band_exchanges_are_narrow(spark):
+    """minhash_dedup_incremental: exchanges keyed on the band buckets
+    carry only (id, band, bh) — never the text or the gram arrays."""
+    from beamium_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    kept, new_bands = minhash_dedup_incremental(docs, None, num_hashes=16, bands=8)
+    for nid, first, inp in _exchange_blocks(new_bands):
+        if "hashpartitioning(band" in inp or "hashpartitioning(bh" in inp \
+                or "band#" in inp:
+            assert "text#" not in inp and "__grams#" not in inp, (
+                f"band exchange {nid} carries wide payload: {first}"
+            )
+
+
+def test_snapshot_diff_exchanges_are_narrow(spark):
+    """snapshot_diff: both sides reduce to (key, h1, h2) before the
+    full-outer join — no exchange carries text."""
+    from beamium_spark.operators.dedup import snapshot_diff
+
+    docs = spark.createDataFrame(
+        [(i, "body text") for i in range(4)], "doc_id long, text string"
+    )
+    _assert_no_text_in_exchanges(snapshot_diff(docs, docs))
