@@ -88,6 +88,29 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="write the result as parquet here instead of printing")
     q.add_argument("--limit", type=int, default=1000,
                    help="max rows printed without --out (default 1000)")
+    q.add_argument("--ewma", type=float, default=None,
+                   help="annotate with recursive EWMA at this alpha")
+    q.add_argument("--render", default=None, choices=["m4"],
+                   help="chart read: M4 extremes per step from the block store")
+    c = p.add_argument_group("curate mode (--curate)")
+    c.add_argument("--curate", action="store_true",
+                   help="one-call corpus curation over --docs")
+    c.add_argument("--docs", help="documents table path (parquet)")
+    c.add_argument("--out-clean", default=None,
+                   help="write kept documents as parquet here")
+    c.add_argument("--benchmark", default=None,
+                   help="benchmark table (parquet) for decontamination")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--near-dup", type=float, default=None,
+                   help="MinHash near-dedup Jaccard threshold (e.g. 0.8)")
+    c.add_argument("--sample", type=float, default=None,
+                   help="deterministic keep fraction")
+    c.add_argument("--scrub", action="store_true",
+                   help="PII-scrub kept documents' text")
+    c.add_argument("--lm-logprob", type=float, default=None,
+                   help="bigram-LM mean log-likelihood floor (drops 'lm_low')")
+    c.add_argument("--domain-col", default=None,
+                   help="enable the domain-reputation gate on this column")
     return p
 
 
@@ -135,8 +158,11 @@ def main(argv: list[str] | None = None) -> int:
             stat=args.stat,
             session_gap=args.session_gap,
             anomaly=args.anomaly,
+            ewma=args.ewma,
+            render=args.render,
         )
-        order = "session_start" if args.session_gap else "window_start"
+        order = ("session_start" if args.session_gap
+                 else "ws" if args.render else "window_start")
         df = df.orderBy("bucket", "metric", order)
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
@@ -152,6 +178,33 @@ def main(argv: list[str] | None = None) -> int:
                 break
             print(json.dumps(row.asDict(), default=str), flush=True)
             n += 1
+        return 0
+
+    if args.curate:
+        if not args.docs:
+            print("--curate requires --docs", file=sys.stderr)
+            return 2
+        from beamium_spark.plans.curate import curate
+
+        docs = spark.read.parquet(args.docs)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        clean, report = curate(
+            docs,
+            bench,
+            scrub=args.scrub,
+            min_quality=args.min_quality,
+            near_dup_threshold=args.near_dup,
+            sample_fraction=args.sample,
+            min_lm_logprob=args.lm_logprob,
+            domain_col=args.domain_col,
+            materialize=True,
+        )
+        if args.out_clean:
+            clean.write.mode("overwrite").parquet(args.out_clean)
+        for row in sorted(report.collect(), key=lambda r: r["outcome"]):
+            print(json.dumps(row.asDict()), flush=True)
+        if args.out_clean:
+            print(json.dumps({"out_clean": args.out_clean}), flush=True)
         return 0
 
     if args.scrape:

@@ -126,3 +126,45 @@ def test_cli_daemon_retention_clock_advances(spark, tmp_path, capsys, monkeypatc
     assert rc == 0
     # one wall-clock read PER TICK (pre-fix: exactly one at process start)
     assert len(calls) == 3
+
+
+def test_cli_curate_mode(spark, tmp_path, capsys):
+    docs_path = str(tmp_path / "docs")
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was that good "
+        "for everyone in the field to see it happen again and again today"
+    )
+    rows = [(i, good + f" v{i}") for i in range(1, 5)]
+    rows += [(5, good + " v1"),  # exact duplicate of doc 1
+             (6, "x " * 4)]      # low quality
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_path)
+    dest = str(tmp_path / "clean")
+    rc = main(["--state", str(tmp_path / "st"), "--curate",
+               "--docs", docs_path, "--out-clean", dest])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    rep = {r["outcome"]: r["n"] for r in out if "outcome" in r}
+    assert rep.get("kept") == 4 and rep.get("duplicate") == 1
+    assert rep.get("low_quality") == 1
+    kept = spark.read.parquet(dest)
+    assert kept.count() == 4
+
+
+def test_cli_query_render_and_ewma_flags(spark, tmp_path, capsys):
+    from beamium_spark.sources.synth import ensure_web_pages
+
+    pages = ensure_web_pages(0.0003)
+    state = str(tmp_path / "state")
+    rc = main(["--pages", pages, "--state", state, "--now", "2025-01-01T00:00:00"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "--state", state, "--query", "--metric", "doc_count",
+        "--start", "2025-01-01T00:00:00", "--end", "2025-01-02T00:00:00",
+        "--step", "1 hour", "--agg", "sum", "--ewma", "0.3", "--limit", "3",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    assert rows and "ewma" in rows[0]
