@@ -365,3 +365,59 @@ def corpus_report(
         F.round(F.avg("__c"), 6).alias("avg_chars"),
         F.round(F.avg("__s"), 6).alias("mean_score"),
     )
+
+
+def trending_terms(
+    pages: DataFrame,
+    window: str = "1 day",
+    k: int = 10,
+    n: int = 1,
+    salt_factor: int = 64,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word n-grams per time window over the crawl — the text ×
+    time composition (what's trending in the corpus per day), the
+    vocabulary analog of ``rollup.top_urls``.
+
+    Same lossless three-phase shape as top_urls, because a window of a
+    10^12-doc corpus holds ~10^8 distinct terms and a single per-window
+    rank would sort them all in one task:
+
+    1. count per (window, term) — explode + one partial+final hash agg;
+    2. LOCAL top-k per (window, term-hash-salt) slice — no task ranks
+       more than ~cardinality/salt_factor terms of one window;
+    3. global rank over the ≤ k·salt_factor survivors per window.
+
+    A global top-k term is necessarily in its salt slice's top-k, so the
+    prune is lossless. Ties break on term asc — deterministic,
+    oracle-able. Output: (window_start, term, n, rank).
+    """
+    from pyspark.sql import Window as W
+
+    src = (
+        word_ngrams_all(F.col(text_col), n)
+        if n > 1
+        else words(F.col(text_col))
+    )
+    exploded = pages.select(
+        F.col(ts_col).alias("__ts"), F.explode(src).alias("term")
+    )
+    counted = exploded.groupBy(
+        F.window("__ts", window).alias("w"), "term"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    salted = counted.withColumn(
+        "__salt", F.pmod(F.xxhash64("term"), F.lit(salt_factor)).cast("int")
+    )
+    local_w = W.partitionBy("w", "__salt").orderBy(F.desc("n"), F.asc("term"))
+    pruned = (
+        salted.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__salt")
+    )
+    rank_w = W.partitionBy("w").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("w.start").alias("window_start"), "term", "n", "rank")
+    )

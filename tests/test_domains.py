@@ -85,3 +85,29 @@ def test_corpus_report_values(spark):
     assert abs(
         r.avg_chars - round((2 * len(GOOD) + len(SPAM)) / 3, 6)
     ) < 1e-9
+
+
+def test_trending_terms_ranks_and_windows(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row as _Row
+
+    from beamium_spark.operators.textstats import trending_terms
+
+    d1 = dt.datetime(2025, 1, 1, 10)
+    d2 = dt.datetime(2025, 1, 2, 10)
+    rows = [
+        _Row(warc_ts=d1, text="apple apple banana"),
+        _Row(warc_ts=d1, text="apple cherry"),
+        _Row(warc_ts=d2, text="durian durian durian banana"),
+    ]
+    out = trending_terms(spark.createDataFrame(rows), "1 day", k=2)
+    got = {(r.window_start.day, r.rank): (r.term, r.n) for r in out.collect()}
+    assert got[(1, 1)] == ("apple", 3)
+    assert got[(1, 2)] == ("banana", 1)  # tie with cherry → term asc
+    assert got[(2, 1)] == ("durian", 3)
+    assert got[(2, 2)] == ("banana", 1)
+    # bigram mode
+    out2 = trending_terms(spark.createDataFrame(rows), "1 day", k=1, n=2)
+    top = {r.window_start.day: r.term for r in out2.collect()}
+    assert top[1] == "apple apple" and top[2] == "durian durian"
