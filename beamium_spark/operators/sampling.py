@@ -130,3 +130,60 @@ def split_corpus(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def mix_corpora(
+    sources: list[tuple[str, DataFrame]],
+    weights: dict[str, float],
+    target_docs: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic weighted mixture of corpora — the Pile/DoReMi-style
+    data-mixing pass that turns per-source corpora plus mixture weights
+    into one training corpus.
+
+    Each source ``s`` keeps fraction ``min(1, target_docs·w_s / n_s)``
+    of its rows (weights normalized to sum 1), selected by the same
+    per-id unit hash as :func:`hash_sample` but salted with the SOURCE
+    NAME so sources draw independent samples even over overlapping id
+    spaces. No upsampling: a source too small for its weight contributes
+    everything it has (the achieved mixture under-fills rather than
+    duplicating — repetition is a curation decision, not a sampler
+    default). Output: each source's columns plus ``mix_source``.
+
+    Scale shape: one count() per source at PLAN TIME (metadata-cheap on
+    parquet/Iceberg; the eager action is documented, mirroring
+    vectorize.hashed_tfidf's n_docs contract) — then the mixture itself
+    is a shuffle-free filter + union; verdicts depend only on
+    (id, seed, source name), so they are stable under repartition and
+    incremental append. ``portable=True`` switches to the md5 unit hash
+    an external SQL engine reproduces verbatim.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    names = [n for n, _ in sources]
+    if set(names) != set(weights) or len(set(names)) != len(names):
+        raise ValueError(
+            f"weights keys {sorted(weights)} must match distinct source "
+            f"names {names}"
+        )
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    parts = []
+    for name, df in sources:
+        n = df.count()
+        frac = min(1.0, target_docs * (weights[name] / total_w) / max(n, 1))
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit(f"#{seed}#{name}")
+        )
+        u = _md5_unit_hash(key) if portable else _unit_hash(key, seed)
+        parts.append(
+            df.filter(u < F.lit(frac)).withColumn("mix_source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

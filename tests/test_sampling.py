@@ -105,3 +105,46 @@ def test_validation_errors(spark, docs):
         stratified_sample(docs, {"en": -0.1})
     with pytest.raises(ValueError):
         split_corpus(docs, {"a": 0.0})
+
+
+def test_mix_corpora_fractions_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from beamium_spark.operators.sampling import mix_corpora
+
+    a = spark.createDataFrame([Row(doc_id=i, text=f"a{i}") for i in range(400)])
+    b = spark.createDataFrame([Row(doc_id=i, text=f"b{i}") for i in range(400)])
+    mix = mix_corpora([("a", a), ("b", b)], {"a": 3.0, "b": 1.0}, 200)
+    rows = mix.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.mix_source, set()).add(r.doc_id)
+    # expected fractions: a → 150/400, b → 50/400; hash sampling is
+    # approximate at n=400, allow generous tolerance
+    assert 100 <= len(by_src["a"]) <= 200
+    assert 20 <= len(by_src["b"]) <= 90
+    assert len(by_src["a"]) > len(by_src["b"])
+    # overlapping id spaces draw INDEPENDENT samples (name-salted hash)
+    assert by_src["a"] != by_src["b"]
+    # deterministic under re-evaluation
+    rows2 = mix_corpora([("a", a), ("b", b)], {"a": 3.0, "b": 1.0}, 200).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_mix_corpora_caps_and_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from beamium_spark.operators.sampling import mix_corpora
+
+    small = spark.createDataFrame([Row(doc_id=i) for i in range(5)])
+    big = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    # small source can't fill its share: keeps everything, no upsampling
+    mix = mix_corpora([("s", small), ("g", big)], {"s": 0.5, "g": 0.5}, 400)
+    by = {r.mix_source for r in mix.collect()}
+    got_s = mix.filter("mix_source = 's'").count()
+    assert got_s == 5 and "g" in by
+    with _pytest.raises(ValueError, match="must match"):
+        mix_corpora([("s", small)], {"x": 1.0}, 10)
+    with _pytest.raises(ValueError, match="positive"):
+        mix_corpora([("s", small)], {"s": 0.0}, 10)
