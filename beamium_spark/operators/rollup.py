@@ -719,3 +719,68 @@ def url_cardinality(
         .agg(*aggs)
         .select(F.col("w.start").alias("window_start"), *cols)
     )
+
+
+def tier_resets(
+    tier: DataFrame,
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """PromQL ``resets()``/``changes()`` over each (bucket, metric) tier
+    series: one row per series with ``n_points``, ``resets`` (count of
+    strict decreases vs the previous window — counter restarts) and
+    ``changes`` (count of value changes). Completes the counter family
+    next to :func:`tier_rate`'s reset-aware deltas.
+
+    Scale: one per-series lag window over tier rows (bounded by
+    time-span/window — the tier_rate argument), then a hash agg to one
+    row per series.
+    """
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    prev = F.lag(value_col).over(w)
+    flagged = tier.select(
+        "bucket",
+        "metric",
+        (F.col(value_col) < prev).cast("int").alias("__reset"),
+        (F.col(value_col) != prev).cast("int").alias("__change"),
+    )
+    return flagged.groupBy("bucket", "metric").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("__reset"), F.lit(0)).alias("resets"),
+        F.coalesce(F.sum("__change"), F.lit(0)).alias("changes"),
+    )
+
+
+def tier_sum_metrics(
+    tier: DataFrame,
+    pattern: str,
+    out_metric: str,
+) -> DataFrame:
+    """PromQL ``sum without (label)`` over the metric dimension: all
+    metrics matching the anchored regex ``pattern`` collapse into ONE
+    series ``out_metric`` per (bucket, window) — e.g. every
+    ``lang_rate:*`` series summed into a total page rate. The n-way
+    companion to :func:`tier_binary_op` (which is pairwise).
+
+    Decomposable re-aggregation only (sum/sum/min/max over the tier
+    tuples) — one hash agg keyed on the tier's own (bucket, window)
+    partitioning; never touches raw points.
+    """
+    return (
+        tier.filter(F.col("metric").rlike(f"^(?:{pattern})$"))
+        .groupBy("bucket", "window_start")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            F.lit(out_metric).alias("metric"),
+            "window_start",
+            "cnt",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

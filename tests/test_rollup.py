@@ -539,3 +539,44 @@ def test_tier_ewma_recursive_values(spark):
             assert abs(w - e) < 1e-12, (m, i)
     with _pytest.raises(ValueError, match="alpha"):
         tier_ewma(tier, alpha=0.0)
+
+
+def test_tier_resets_and_changes(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import tier_resets
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = {"ctr": [1.0, 5.0, 9.0, 2.0, 2.0, 7.0, 3.0], "flat": [4.0, 4.0, 4.0]}
+    rows = []
+    for m, vs in vals.items():
+        rows += [(0, m, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vs)]
+    tier = spark.createDataFrame(
+        rows, "bucket int, metric string, window_start timestamp, sum_value double"
+    )
+    got = {r.metric: r for r in tier_resets(tier).collect()}
+    # ctr: decreases at 9→2 and 7→3; changes at every step except 2→2
+    assert (got["ctr"].n_points, got["ctr"].resets, got["ctr"].changes) == (7, 2, 5)
+    assert (got["flat"].n_points, got["flat"].resets, got["flat"].changes) == (3, 0, 0)
+
+
+def test_tier_sum_metrics(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import rollup_tier, tier_sum_metrics
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = []
+    for lang, n in (("en", 3), ("de", 2)):
+        pts += [(0, f"lang_rate:{lang}", t0 + dt.timedelta(seconds=i), 1.0) for i in range(n)]
+    pts += [(0, "byte_size", t0, 100.0)]  # must NOT match
+    tier = rollup_tier(
+        spark.createDataFrame(pts, "bucket int, metric string, ts timestamp, value double"),
+        "1 minute",
+    )
+    out = tier_sum_metrics(tier, r"lang_rate:.*", "page_rate").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.metric, r.cnt, r.sum_value, r.min_value, r.max_value) == (
+        "page_rate", 5, 5.0, 1.0, 1.0
+    )
