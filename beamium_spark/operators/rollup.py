@@ -721,6 +721,57 @@ def url_cardinality(
     )
 
 
+def tier_double_ewma(
+    tier: DataFrame,
+    alpha: float = 0.3,
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """Brown's double exponential smoothing per (bucket, metric) series —
+    the level+trend member of the smoothing family (PromQL
+    ``holt_winters`` / ``double_exponential_smoothing``'s single-
+    parameter variant): s1 = ewm(x), s2 = ewm(s1) (both adjust-False,
+    seeded with the first observation), then
+
+        level_t = 2·s1_t − s2_t
+        trend_t = α/(1−α) · (s1_t − s2_t)
+        forecast_t = level_t + trend_t   (one-step-ahead prediction)
+
+    Unlike Holt's two-parameter form, Brown's composes from two chained
+    EWM recursions, so the implementation stays a fully VECTORIZED
+    grouped Arrow pass (two ``Series.ewm`` calls — no per-row Python
+    loop), and a SQL oracle can re-derive both passes in closed form.
+    Same scale contract as :func:`tier_ewma`.
+
+    Output: (bucket, metric, window_start, value, level, trend,
+    forecast).
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    k = alpha / (1.0 - alpha)
+
+    def _dewm(pdf):
+        pdf = pdf.sort_values("window_start")
+        pdf["value"] = pdf["__x"].astype("float64")
+        s1 = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
+        s2 = s1.ewm(alpha=alpha, adjust=False).mean()
+        pdf["level"] = 2.0 * s1 - s2
+        pdf["trend"] = k * (s1 - s2)
+        pdf["forecast"] = pdf["level"] + pdf["trend"]
+        return pdf[
+            ["bucket", "metric", "window_start", "value", "level", "trend",
+             "forecast"]
+        ]
+
+    narrow = tier.select(
+        "bucket", "metric", "window_start", F.col(value_col).alias("__x")
+    )
+    return narrow.groupBy("bucket", "metric").applyInPandas(
+        _dewm,
+        "bucket int, metric string, window_start timestamp, value double, "
+        "level double, trend double, forecast double",
+    )
+
+
 def tier_resets(
     tier: DataFrame,
     value_col: str = "sum_value",

@@ -580,3 +580,42 @@ def test_tier_sum_metrics(spark):
     assert (r.metric, r.cnt, r.sum_value, r.min_value, r.max_value) == (
         "page_rate", 5, 5.0, 1.0, 1.0
     )
+
+
+def test_tier_double_ewma_matches_recursion(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_double_ewma
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [1.0, 4.0, 2.0, 8.0, 5.0, 9.0]
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    out = {r.window_start.minute: r for r in tier_double_ewma(tier, 0.3).collect()}
+    a = 0.3
+    s1, s2 = vals[0], vals[0]
+    for i, x in enumerate(vals):
+        if i:
+            s1 = a * x + (1 - a) * s1
+            s2 = a * s1 + (1 - a) * s2
+        lvl = 2 * s1 - s2
+        tr = a / (1 - a) * (s1 - s2)
+        r = out[i]
+        assert abs(r.level - lvl) < 1e-12
+        assert abs(r.trend - tr) < 1e-12
+        assert abs(r.forecast - (lvl + tr)) < 1e-12
+    # a linear ramp's forecast converges toward the next value
+    ramp = spark.createDataFrame(
+        [(0, "r", t0 + dt.timedelta(minutes=i), float(i)) for i in range(60)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    last = sorted(
+        tier_double_ewma(ramp, 0.5).collect(), key=lambda r: r.window_start
+    )[-1]
+    assert abs(last.forecast - 60.0) < 0.2
+    with _pytest.raises(ValueError, match="alpha"):
+        tier_double_ewma(tier, 1.0)
