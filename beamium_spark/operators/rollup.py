@@ -835,3 +835,48 @@ def tier_sum_metrics(
             "max_value",
         )
     )
+
+
+def distinct_tier(
+    pages: DataFrame,
+    window: str = "1 hour",
+    col: str = "url",
+    ts_col: str = "warc_ts",
+    lgk: int = 12,
+) -> DataFrame:
+    """MERGEABLE distinct-count tier: one DataSketches HLL sketch per
+    window (``hll_sketch_agg``) instead of a scalar estimate. The scalar
+    (``approx_count_distinct``, :func:`url_cardinality`) answers one
+    window width and is dead weight for any other; the sketch column is
+    DECOMPOSABLE — coarser tiers derive by :func:`distinct_cascade`'s
+    ``hll_union_agg`` without re-touching raw data, the same contract
+    the (cnt,sum,min,max) tuples give the value aggregates. ~2^lgk bytes
+    per window (lgk=12 → ~4 KiB, ~1.6% relative error).
+
+    Output: (window_start, sk binary). One hash agg, map-side combined
+    (sketches merge associatively on the map side too).
+    """
+    w = F.window(F.col(ts_col), window)
+    return (
+        pages.groupBy(w.alias("w"))
+        .agg(F.hll_sketch_agg(col, F.lit(lgk)).alias("sk"))
+        .select(F.col("w.start").alias("window_start"), "sk")
+    )
+
+
+def distinct_cascade(tier: DataFrame, window: str) -> DataFrame:
+    """Re-roll a distinct-sketch tier to a coarser window by sketch
+    union — tier-rows-only cost, estimate-identical to sketching the
+    raw data directly at the coarser window (pinned in test_rollup)."""
+    w = F.window(F.col("window_start"), window)
+    return (
+        tier.groupBy(w.alias("w"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.col("w.start").alias("window_start"), "sk")
+    )
+
+
+def with_distinct_estimate(tier: DataFrame) -> DataFrame:
+    """Materialize the scalar estimate next to the sketch (read-time
+    derivation, like :func:`with_avg`)."""
+    return tier.withColumn("approx_distinct", F.hll_sketch_estimate("sk"))

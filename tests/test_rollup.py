@@ -619,3 +619,36 @@ def test_tier_double_ewma_matches_recursion(spark):
     assert abs(last.forecast - 60.0) < 0.2
     with _pytest.raises(ValueError, match="alpha"):
         tier_double_ewma(tier, 1.0)
+
+
+def test_distinct_tier_cascade_matches_direct(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import (
+        distinct_cascade,
+        distinct_tier,
+        with_distinct_estimate,
+    )
+
+    rows = [
+        (f"https://u{i % 97}.example/", dt.datetime(2025, 1, 1, (i // 200) % 24, i % 60))
+        for i in range(2000)
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    t1h = distinct_tier(pages, "1 hour")
+    t1d = distinct_cascade(t1h, "1 day")
+    via_cascade = {
+        r.window_start: r.approx_distinct
+        for r in with_distinct_estimate(t1d).collect()
+    }
+    direct = {
+        r.window_start: r.approx_distinct
+        for r in with_distinct_estimate(distinct_tier(pages, "1 day")).collect()
+    }
+    assert via_cascade == direct  # union of sketches ≡ sketching the union
+    # estimate is within the lgk=12 error bound of the exact count (97)
+    (est,) = via_cascade.values()
+    assert abs(est - 97) / 97 < 0.05
+    # sketch payload stays bounded
+    sk = t1d.collect()[0].sk
+    assert len(sk) <= (1 << 12) + 64
