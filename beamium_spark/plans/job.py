@@ -62,6 +62,10 @@ class JobConf:
     # tier ("hist_1h") — decomposable bin counts, the scale path for
     # approximate percentile reads (query(stat=..., approx=True))
     histogram_bin_width: float | None = None
+    # when set, the job also maintains a 1h MERGEABLE HLL distinct-url
+    # tier ("distinct_1h" — DataSketches sketch column at this lgK);
+    # query(stat='distinct') unions it to any step without raw pages
+    distinct_lgk: int | None = None
     # per-tick incremental compaction: chunks exceeding this many parquet
     # files get rewritten after retention (0 = off)
     max_files_per_chunk: int = 8
@@ -76,6 +80,9 @@ class JobConf:
             # distribution tier (written only when histogram_bin_width is
             # set) follows the 1h tier's horizon
             "hist_1h": RetentionPolicy(ttl_hours=14 * 24),
+            # distinct-sketch tier (written only when distinct_lgk is
+            # set) follows the 1h tier's horizon
+            "distinct_1h": RetentionPolicy(ttl_hours=14 * 24),
         }
     )
 
@@ -253,6 +260,22 @@ class RollupJob:
             )
             commit_with_retry(
                 lambda: self.store.write_chunks(hist, "hist_1h", "chunk_start")
+            )
+
+        if self.conf.distinct_lgk:
+            from beamium_spark.operators.rollup import distinct_tier
+
+            # doc_count rows carry each page's url exactly once; hour
+            # windows align with chunks, so overwrites stay idempotent
+            dsk = distinct_tier(
+                points.filter(F.col("metric") == "doc_count").select(
+                    "url", F.col("ts").alias("warc_ts")
+                ),
+                "1 hour",
+                lgk=self.conf.distinct_lgk,
+            ).withColumn("chunk_start", F.col("window_start"))
+            commit_with_retry(
+                lambda: self.store.write_chunks(dsk, "distinct_1h", "chunk_start")
             )
 
         # cascades from the tier below, recomputed for every *date* touched:

@@ -143,6 +143,14 @@ def query(
     scales with tier rows, never raw points. The exact (approx=False)
     block-store path stays for range-bounded raw fidelity.
 
+    ``stat='distinct'`` answers distinct-URL reads from the MERGEABLE
+    HLL sketch tier (``distinct_1h``, maintained by the job when
+    ``JobConf.distinct_lgk`` is set): per-hour sketches union to any
+    hour-multiple step (``hll_union_agg`` — decomposable, never
+    re-touching raw pages) and the value is the estimate. The series is
+    global (bucket 0, metric 'distinct_urls'); ``metric``/``bucket``
+    are ignored, ``fill`` is rejected.
+
     ``anomaly=k`` annotates the final series with rolling z-score alert
     columns (``base_avg``/``base_std``/``base_n``/``zscore``/
     ``is_anomaly`` via :func:`~beamium_spark.operators.rollup.
@@ -223,6 +231,42 @@ def query(
 
         pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
         return session_rollup(pts, gap=session_gap)
+
+    if stat == "distinct":
+        if fill is not None:
+            raise ValueError("fill is not supported with distinct stats")
+        if not store.exists("distinct_1h"):
+            raise ValueError(
+                "distinct reads need the 'distinct_1h' sketch tier "
+                "(set JobConf.distinct_lgk)"
+            )
+        if step_s % 3600 != 0:
+            raise ValueError(
+                "distinct reads union the 1h sketch tier — step must be "
+                "a multiple of 1 hour"
+            )
+        d = store.read("distinct_1h")
+        if "chunk_key" in d.columns:
+            lo = start.strftime("%Y-%m-%d-%H")
+            hi = end.strftime("%Y-%m-%d-%H")
+            d = d.filter((F.col("chunk_key") >= lo) & (F.col("chunk_key") <= hi))
+        d = d.filter(
+            (F.col("window_start") >= F.lit(start))
+            & (F.col("window_start") < F.lit(end))
+        )
+        w = F.window("window_start", f"{step_s} seconds")
+        out = (
+            d.groupBy(w.alias("w"))
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .select(
+                F.lit(0).alias("bucket"),
+                F.lit("distinct_urls").alias("metric"),
+                F.col("w.start").alias("window_start"),
+                F.hll_sketch_estimate("sk").cast("double").alias("value"),
+            )
+        )
+        return _shape(out, smooth, rate, step_s, anomaly, anomaly_threshold,
+                      ewma)
 
     if stat is not None:
         import re as _re

@@ -248,3 +248,50 @@ def test_late_data_replays_dirty_chunk(spark, tmp_path):
     cols = sorted(want.columns)
     assert got.select(cols).exceptAll(want.select(cols)).count() == 0
     assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_job_maintains_distinct_tier(spark, pages_path, tmp_path):
+    """JobConf.distinct_lgk turns on the distinct_1h HLL sketch tier;
+    query(stat='distinct') answers from it within the sketch tolerance
+    of the exact per-step distinct-url count; re-running the job leaves
+    it unchanged (idempotent chunk overwrites)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from beamium_spark.plans.query import query
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    state = str(tmp_path / "s")
+    conf = JobConf(bucket_mode="site", distinct_lgk=12)
+    job = RollupJob(spark, pages_path, state, conf)
+    job.run()
+    store = ParquetTierStore(spark, state)
+    assert store.exists("distinct_1h")
+
+    pages = spark.read.parquet(pages_path)
+    bounds = pages.agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).collect()[0]
+    t0 = bounds["lo"].replace(minute=0, second=0, microsecond=0)
+    t1 = bounds["hi"] + dt.timedelta(hours=1)
+    got = {
+        r["window_start"]: r["value"]
+        for r in query(store, "x", t0, t1, step="6 hours", stat="distinct").collect()
+    }
+    exact = {
+        r["w"]["start"]: r["x"]
+        for r in pages.groupBy(F.window("warc_ts", "6 hours").alias("w"))
+        .agg(F.countDistinct("url").alias("x"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for ws, est in got.items():
+        assert abs(est - exact[ws]) / exact[ws] < 0.05, (ws, est, exact[ws])
+
+    # idempotence: a second pass rewrites the same complete windows
+    snap = sorted((r["window_start"],) for r in store.read("distinct_1h").collect())
+    job2 = RollupJob(spark, pages_path, state, conf)
+    job2.run()
+    snap2 = sorted((r["window_start"],) for r in store.read("distinct_1h").collect())
+    assert snap == snap2

@@ -310,3 +310,64 @@ def test_query_ewma_annotation(store):
               ewma=0.5, smooth=2)
     with _pytest.raises(ValueError, match="alpha"):
         query(store, "doc_count", t0, t0 + dt.timedelta(hours=2), ewma=1.5)
+
+
+def test_query_distinct_from_sketch_tier(spark, tmp_path):
+    """stat='distinct' unions the job-maintained 1h sketch tier to the
+    requested step; estimates equal the direct per-step sketch and sit
+    within tolerance of exact counts."""
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import (
+        distinct_tier,
+        with_distinct_estimate,
+    )
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (f"https://u{(i * 7) % 300}.example/", t0 + dt.timedelta(minutes=i % 1440))
+        for i in range(3000)
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    store = ParquetTierStore(spark, str(tmp_path / "dstore"))
+    t1h = distinct_tier(pages, "1 hour").withColumn(
+        "chunk_start", F.col("window_start")
+    )
+    store.write_chunks(t1h, "distinct_1h", "chunk_start")
+
+    out = {
+        r["window_start"]: r["value"]
+        for r in query(
+            store, "ignored", t0, t0 + dt.timedelta(days=1), step="6 hours",
+            stat="distinct",
+        ).collect()
+    }
+    direct = {
+        r["window_start"]: float(r["approx_distinct"])
+        for r in with_distinct_estimate(distinct_tier(pages, "6 hours")).collect()
+    }
+    assert out == direct
+    exact = {
+        r["w"]["start"]: r["x"]
+        for r in pages.groupBy(F.window("warc_ts", "6 hours").alias("w"))
+        .agg(F.countDistinct("url").alias("x"))
+        .collect()
+    }
+    for ws, est in out.items():
+        assert abs(est - exact[ws]) / exact[ws] < 0.05
+
+    with _pytest.raises(ValueError, match="multiple of 1 hour"):
+        query(store, "x", t0, t0 + dt.timedelta(days=1), step="30 minutes",
+              stat="distinct")
+    with _pytest.raises(ValueError, match="fill"):
+        query(store, "x", t0, t0 + dt.timedelta(days=1), stat="distinct",
+              fill="zero")
+
+
+def test_query_distinct_requires_tier(store):
+    import pytest as _pytest
+
+    t0 = dt.datetime(2025, 1, 1)
+    with _pytest.raises(ValueError, match="distinct_1h"):
+        query(store, "x", t0, t0 + dt.timedelta(days=1), stat="distinct")
