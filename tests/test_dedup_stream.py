@@ -95,3 +95,90 @@ def test_retried_epoch_is_idempotent(spark, tmp_path):
     # kept rows are unique too
     kept = spark.read.parquet(d["kept"])
     assert kept.count() == 3
+
+
+_KILL_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+from beamium_spark.session import get_spark
+from beamium_spark.streaming.dedup_stream import start_dedup_stream
+spark = get_spark(app_name="dedup-kill-child", master="local[4]", shuffle_partitions=4)
+q = start_dedup_stream(
+    spark, {src!r}, {kept!r}, {bands!r}, {ckpt!r},
+    max_files_per_trigger=1, num_hashes=64, bands=32,
+)
+import threading
+def _beat():
+    last = -1
+    while True:
+        p = q.lastProgress
+        if p and p["batchId"] != last:
+            last = p["batchId"]
+            print("EPOCH_DONE", last, flush=True)
+        import time as _t; _t.sleep(0.2)
+threading.Thread(target=_beat, daemon=True).start()
+q.awaitTermination()
+print("ALL_DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_stream_then_resume(spark, tmp_path):
+    """A separate driver is SIGKILLed after its first epoch commits; a
+    fresh run over the same checkpoint + band store drains the rest and
+    the final kept set equals an uninterrupted run — the band store, not
+    process memory, carries the dedup state."""
+    import signal
+    import subprocess
+    import sys as _sys
+
+    d = _dirs(tmp_path)
+    files = [
+        [(1, FLUENT), (2, OTHER)],
+        [(10, NEAR), (11, FRESH)],
+        [(20, FLUENT), (21, "completely novel words about checkpoint fences")],
+    ]
+    for i, rows in enumerate(files):
+        _write_file(spark, os.path.join(d["src"], f"f{i}.parquet"), rows)
+        os.utime(
+            os.path.join(d["src"], f"f{i}.parquet"),
+            (1700000000 + 100 * i, 1700000000 + 100 * i),
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = subprocess.Popen(
+        [_sys.executable, "-c", _KILL_CHILD.format(
+            repo=repo, src=d["src"], kept=d["kept"], bands=d["bands"],
+            ckpt=d["ckpt"])],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    done = 0
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        line = child.stdout.readline()
+        if not line:
+            break
+        if line.startswith("EPOCH_DONE"):
+            done += 1
+            if done >= 1:
+                break
+        if line.startswith("ALL_DONE"):
+            break
+    os.kill(child.pid, signal.SIGKILL)
+    child.wait()
+    assert done >= 1, "child never finished an epoch before the kill"
+
+    # resume in THIS process: same checkpoint, same stores
+    q = start_dedup_stream(
+        spark, d["src"], d["kept"], d["bands"], d["ckpt"],
+        max_files_per_trigger=1, num_hashes=64, bands=32,
+    )
+    q.awaitTermination(180)
+    assert _kept_ids(spark, d["kept"]) == {1, 2, 11, 21}
+
+    # uninterrupted reference run
+    ref = {k: str(tmp_path / ("ref_" + k)) for k in ("kept", "bands", "ckpt")}
+    q2 = start_dedup_stream(
+        spark, d["src"], ref["kept"], ref["bands"], ref["ckpt"],
+        max_files_per_trigger=1, num_hashes=64, bands=32,
+    )
+    q2.awaitTermination(180)
+    assert _kept_ids(spark, ref["kept"]) == _kept_ids(spark, d["kept"])
