@@ -309,3 +309,38 @@ def ensure_prom_text(root: str = PROM_FIXTURE_ROOT) -> str:
     if os.path.isfile(out):
         return out
     return generate_prom_text(out)
+
+
+JSONL_FIXTURE_ROOT = os.environ.get(
+    "BEAMIUM_JSONL_FIXTURE_ROOT", "/root/repo/.fixtures/jsonl_docs"
+)
+
+
+def ensure_jsonl_docs(sf_dir: str, root: str = JSONL_FIXTURE_ROOT) -> str:
+    """Deterministic JSONL rendering of ``<sf_dir>/documents.parquet`` —
+    the fixture for the JSONL-ingest gate. Written with plain
+    pyarrow+json (no Spark, doc_id-sorted, ensure_ascii) so the bytes
+    are reproducible and BOTH engines (Spark reader, DuckDB oracle) read
+    the identical file. Self-caching like ensure_web_pages."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(root, tag)
+    out = os.path.join(out_dir, "docs.jsonl")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    t = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).to_pylist()
+    t.sort(key=lambda r: r["doc_id"])
+    tmp = out + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for r in t:
+            fh.write(_json.dumps(r, ensure_ascii=True, sort_keys=True))
+            fh.write("\n")
+    os.replace(tmp, out)
+    return out
