@@ -880,3 +880,181 @@ def with_distinct_estimate(tier: DataFrame) -> DataFrame:
     """Materialize the scalar estimate next to the sketch (read-time
     derivation, like :func:`with_avg`)."""
     return tier.withColumn("approx_distinct", F.hll_sketch_estimate("sk"))
+
+
+_ALERT_OPS = {
+    ">": lambda x, t: x > t,
+    ">=": lambda x, t: x >= t,
+    "<": lambda x, t: x < t,
+    "<=": lambda x, t: x <= t,
+}
+
+
+def tier_alert_rule(
+    tier: DataFrame,
+    threshold: float,
+    op: str = ">",
+    for_windows: int = 3,
+    window: str = "1 minute",
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """Prometheus-style alert-RULE evaluation over a tier series: the
+    condition ``value <op> threshold`` must hold for ``for_windows``
+    CONSECUTIVE tier windows before the alert fires (the ``for:``
+    clause). The reference forwards series for exactly this kind of
+    downstream alerting (/root/reference/README.md:17-24); here the
+    rule engine is a first-class batch read over the continuous
+    aggregate, complementing :func:`tier_anomalies`' statistical flags
+    with explicit threshold rules.
+
+    Per tier row emits ``state``:
+
+    - ``'inactive'`` — condition false;
+    - ``'pending'``  — condition true for ``streak < for_windows``
+      consecutive windows so far;
+    - ``'firing'``   — condition held ``for_windows``+ consecutive
+      windows up to and including this one.
+
+    A MISSING tier window breaks the streak (PromQL resets the ``for``
+    clock when the series vanishes): consecutiveness is checked against
+    the tier's own step (``window_seconds(window)``), so gaps in the
+    aggregate reset ``streak`` to 1 at the next true window. Gap-fill
+    first (:func:`~beamium_spark.operators.gapfill.gapfill`) for
+    treat-absent-as-zero semantics instead.
+
+    Scale: gaps-and-islands entirely inside ONE (bucket, metric)
+    window partitioning — every window function below shares the same
+    partition key and sort, so Catalyst plans ONE exchange + ONE sort
+    and evaluates them in a single Window node (no island-keyed second
+    shuffle: the streak is cumulative-count arithmetic, ``cum_true −
+    cum_true@last-break``, not a per-island partition). Per-series rows
+    stay bounded by time-span/window (the :func:`tier_rate` argument).
+    """
+    if op not in _ALERT_OPS:
+        raise ValueError(f"op must be one of {sorted(_ALERT_OPS)}, got {op!r}")
+    if for_windows < 1:
+        raise ValueError(f"for_windows must be >= 1, got {for_windows}")
+    step = window_seconds(window)
+    x = F.col(value_col).cast("double")
+    cond = _ALERT_OPS[op](x, F.lit(float(threshold)))
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    ws_s = F.unix_timestamp("window_start")
+    # A row BREAKS the streak when its condition is false, or when the
+    # tier skipped a window just before it (step gap — the `for` clock
+    # resets on absent data). First row of a series: lag is NULL → the
+    # gap test is NULL; a true first row coalesces to "no break" (its
+    # island implicitly starts at the series start, reset base 0).
+    brk = (~cond) | (ws_s - F.lag(ws_s).over(w) != F.lit(step))
+    flagged = tier.select(
+        "bucket",
+        "metric",
+        "window_start",
+        x.alias("value"),
+        cond.alias("__cond"),
+        F.coalesce(brk, F.lit(False)).alias("__brk"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = flagged.withColumn(
+        "__ct", F.sum(F.col("__cond").cast("int")).over(run)
+    )
+    # __ct just BEFORE the most recent breaking row: a false break row
+    # contributes its own __ct (cond=0), a gap-start TRUE row
+    # contributes __ct−1 so it counts itself as streak 1.
+    reset_base = F.max(
+        F.when(F.col("__brk"), F.col("__ct") - F.col("__cond").cast("int"))
+    ).over(run)
+    streak = F.col("__ct") - F.coalesce(reset_base, F.lit(0))
+    return flagged.select(
+        "bucket",
+        "metric",
+        "window_start",
+        "value",
+        F.when(~F.col("__cond"), F.lit("inactive"))
+        .when(streak >= for_windows, F.lit("firing"))
+        .otherwise(F.lit("pending"))
+        .alias("state"),
+        F.when(F.col("__cond"), streak).otherwise(F.lit(0)).alias("streak"),
+    )
+
+
+def tier_decompose(
+    tier: DataFrame,
+    period: int,
+    window: str = "1 hour",
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of each (bucket,
+    metric) tier series: ``value = trend + seasonal + remainder`` with
+    seasonality of ``period`` tier windows (e.g. ``period=24`` over the
+    1h tier = daily shape). The de-seasonalized remainder is what
+    alerting reads (:func:`tier_anomalies`) SHOULD monitor when traffic
+    has a strong daily cycle — a first-class operator so the engine's
+    consumers don't re-derive it downstream (the reference forwards raw
+    series to Warp10 for this, /root/reference/README.md:17-24).
+
+    Method (the textbook moving-average decomposition — fully
+    window-function-expressible, no model fitting):
+
+    - ``trend``: centered moving average over one full period. Odd
+      ``period`` → the symmetric ``(period-1)/2``-radius mean; even
+      ``period`` → the standard 2×P average (two P-window means offset
+      by one row, averaged) so the window stays centered. NULL until
+      the frame is complete (series edges).
+    - ``seasonal``: per-phase mean of the detrended series
+      (phase = window index mod period), CENTERED by subtracting the
+      unweighted mean of the period's phase indices so the component
+      sums to ~zero over one period (the additive-model convention).
+    - ``remainder`` = value − trend − seasonal (NULL where trend is).
+
+    Scale: two window passes on the same (bucket, metric) partitioning
+    (one shuffle), one tiny hash-agg keyed (bucket, metric, phase) —
+    ≤ series × period rows — joined back on the same narrow key. No
+    raw-data touch; tier rows per series are span/window-bounded.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    step = window_seconds(window)
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    base = tier.select(
+        "bucket",
+        "metric",
+        "window_start",
+        F.col(value_col).cast("double").alias("value"),
+        (F.floor(F.unix_timestamp("window_start") / step) % period).alias("phase"),
+    )
+    x = F.col("value")
+    if period % 2 == 1:
+        h = (period - 1) // 2
+        frame = w.rowsBetween(-h, h)
+        trend = F.when(F.count(x).over(frame) == period, F.avg(x).over(frame))
+    else:
+        h = period // 2
+        f1 = w.rowsBetween(-h, h - 1)
+        f2 = w.rowsBetween(-h + 1, h)
+        trend = F.when(
+            (F.count(x).over(f1) == period) & (F.count(x).over(f2) == period),
+            (F.sum(x).over(f1) + F.sum(x).over(f2)) / F.lit(2.0 * period),
+        )
+    base = base.withColumn("trend", trend)
+    base = base.withColumn("detrended", F.col("value") - F.col("trend"))
+    idx = (
+        base.groupBy("bucket", "metric", "phase")
+        .agg(F.avg("detrended").alias("__idx"))
+    )
+    wser = Window.partitionBy("bucket", "metric")
+    idx = idx.withColumn("seasonal", F.col("__idx") - F.avg("__idx").over(wser)).drop(
+        "__idx"
+    )
+    return (
+        base.join(idx, ["bucket", "metric", "phase"])
+        .select(
+            "bucket",
+            "metric",
+            "window_start",
+            "phase",
+            "value",
+            "trend",
+            "seasonal",
+            (F.col("value") - F.col("trend") - F.col("seasonal")).alias("remainder"),
+        )
+    )

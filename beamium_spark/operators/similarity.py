@@ -379,3 +379,79 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al., arXiv
+    2303.09540): k-means-partition the embedding space with the IVF
+    codebook, then look for near-duplicate pairs ONLY within each
+    cluster — pairwise cost drops from O(n²) to Σ|cluster|², and the
+    paper's observation is that semantic duplicates land in the same
+    cell. Duplicate groups collapse to one representative: pairs with
+    cosine ≥ ``threshold`` form edges, connected components resolve
+    transitive groups (a≈b≈c is ONE group even when cos(a,c) dips under
+    the threshold), the min-id member survives.
+
+    Output: one row per input vector — (id, cent_id, rep, keep) with
+    ``keep = (rep == id)``; ``vectors.filter(keep)`` is the deduped
+    corpus, ``rep`` the join key back to the survivor.
+
+    Scale shape: centroid assignment is a pure projection against the
+    broadcast codebook (no exchange — :func:`_nearest_centroid`); the
+    only data shuffle keys on ``cent_id`` for the within-cluster
+    self-join. Pick ``n_clusters ∝ corpus/target_cell_size`` (SemDeDup
+    uses 50k cells for ~1B embeddings) so cells stay ~10³-10⁴ vectors;
+    a skewed cell costs |cell|² pairs — if the space is known to
+    collapse onto few modes, prefer
+    :func:`embedding_near_dup_lsh` + :func:`~beamium_spark.operators.
+    dedup.cluster_representatives`, whose banding bounds candidate
+    fan-out per bucket. With ``kmeans_iters=0`` the codebook is the
+    deterministic first-``n_clusters`` seeds and the whole pipeline is
+    DuckDB-reproducible (the gate oracle re-derives codebook,
+    assignment, pairs, and components in SQL); ``kmeans_iters≥1``
+    trains the cells for recall.
+
+    Components reuse :func:`~beamium_spark.operators.dedup.
+    cluster_representatives` (pointer-jumping, O(log diameter) rounds,
+    ``max_iters`` bound).
+    """
+    from beamium_spark.operators.dedup import cluster_representatives
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cents = train_centroids(vectors, n_clusters, kmeans_iters, vec_col, id_col)
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("cent_id", _nearest_centroid(F.col("v"), cents))
+    left = v.select("cent_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = v.select("cent_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    reps = cluster_representatives(pairs, max_iters=max_iters)
+    return (
+        v.select("id", "cent_id")
+        .join(reps, "id", "left")
+        .select(
+            "id",
+            "cent_id",
+            F.coalesce(F.col("rep"), F.col("id")).alias("rep"),
+            (F.coalesce(F.col("rep"), F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

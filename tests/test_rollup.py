@@ -652,3 +652,118 @@ def test_distinct_tier_cascade_matches_direct(spark):
     # sketch payload stays bounded
     sk = t1d.collect()[0].sk
     assert len(sk) <= (1 << 12) + 64
+
+
+def test_tier_alert_rule_states_and_gaps(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_alert_rule
+
+    t0 = dt.datetime(2025, 1, 1)
+    # minutes 0..6 contiguous, then a MISSING minute 7, then 8..10
+    vals = {0: 1.0, 1: 9.0, 2: 9.0, 3: 9.0, 4: 9.0, 5: 1.0, 6: 9.0,
+            8: 9.0, 9: 9.0, 10: 9.0}
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), v) for i, v in vals.items()],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    out = {
+        r.window_start.minute: (r.state, r.streak)
+        for r in tier_alert_rule(tier, 5.0, ">", for_windows=3).collect()
+    }
+    assert out[0] == ("inactive", 0)
+    assert out[1] == ("pending", 1)
+    assert out[2] == ("pending", 2)
+    assert out[3] == ("firing", 3)
+    assert out[4] == ("firing", 4)   # stays firing while condition holds
+    assert out[5] == ("inactive", 0)
+    assert out[6] == ("pending", 1)
+    # minute 7 missing → the `for` clock RESETS across the gap
+    assert out[8] == ("pending", 1)
+    assert out[9] == ("pending", 2)
+    assert out[10] == ("firing", 3)
+
+    # for_windows=1 fires immediately; '<' inverts the predicate
+    fast = {
+        r.window_start.minute: r.state
+        for r in tier_alert_rule(tier, 5.0, "<", for_windows=1).collect()
+    }
+    assert fast[0] == "firing" and fast[1] == "inactive" and fast[5] == "firing"
+
+    with _pytest.raises(ValueError, match="op"):
+        tier_alert_rule(tier, 5.0, "!=")
+    with _pytest.raises(ValueError, match="for_windows"):
+        tier_alert_rule(tier, 5.0, ">", for_windows=0)
+
+
+def test_tier_alert_rule_single_exchange_plan(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import tier_alert_rule
+
+    t0 = dt.datetime(2025, 1, 1)
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), float(i)) for i in range(5)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    plan = tier_alert_rule(tier, 2.0)._jdf.queryExecution().executedPlan().toString()
+    # every window shares the (bucket, metric) partitioning: exactly one
+    # exchange in the whole alert evaluation (none keyed by island id)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_tier_decompose_recovers_planted_components(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_decompose
+
+    # t0 epoch divisible by 240s so phase == i % 4 (readable assertions)
+    t0 = dt.datetime(2025, 1, 1)
+    season4 = [2.0, -1.0, 0.0, -1.0]  # sums to 0 → centering is identity
+    n = 16
+    tier = spark.createDataFrame(
+        [
+            (0, "m", t0 + dt.timedelta(hours=i), float(i) + season4[i % 4])
+            for i in range(n)
+        ],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    rows = sorted(
+        tier_decompose(tier, period=4, window="1 hour").collect(),
+        key=lambda r: r.window_start,
+    )
+    for i, r in enumerate(rows):
+        assert r.phase == i % 4
+        if 2 <= i <= n - 3:  # even period 4 → h=2 edge rows have no trend
+            # centered 2×P MA of (linear + zero-sum seasonal) = the line
+            assert abs(r.trend - i) < 1e-9
+            assert abs(r.seasonal - season4[i % 4]) < 1e-9
+            assert abs(r.remainder) < 1e-9
+        else:
+            assert r.trend is None and r.remainder is None
+
+    # odd period, constant trend: exact recovery
+    season3 = [1.0, 0.0, -1.0]
+    tier3 = spark.createDataFrame(
+        [
+            (0, "m", t0 + dt.timedelta(hours=i), 10.0 + season3[i % 3])
+            for i in range(12)
+        ],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    rows3 = sorted(
+        tier_decompose(tier3, period=3, window="1 hour").collect(),
+        key=lambda r: r.window_start,
+    )
+    for i, r in enumerate(rows3):
+        if 1 <= i <= 10:
+            assert abs(r.trend - 10.0) < 1e-9
+            assert abs(r.seasonal - season3[i % 3]) < 1e-9
+            assert abs(r.remainder) < 1e-9
+
+    with _pytest.raises(ValueError, match="period"):
+        tier_decompose(tier, period=1)

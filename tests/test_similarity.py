@@ -122,3 +122,53 @@ def test_near_dup_lsh_equals_bruteforce_on_planted(spark, vecs):
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_groups_and_survivors(spark):
+    from beamium_spark.operators.similarity import semantic_dedup
+
+    # ids 1 and 2 seed the 2-cell codebook (region archetypes); the
+    # near-dups arrive later and must land in their archetype's cell
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),     # region A seed
+        (2, [0.0, 1.0, 0.0, 0.0]),     # region B seed
+        (3, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.98, 0.02, 0.0]),   # near-dup of 2
+        (5, [0.0, 0.0, 1.0, 0.0]),     # singleton
+        (6, [0.5, 0.5, 0.0, 0.0]),     # cos 0.707 vs 1 — below threshold
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in semantic_dedup(vecs, threshold=0.95, n_clusters=2).collect()}
+    assert len(out) == 6
+    assert out[3].rep == 1 and not out[3].keep
+    assert out[4].rep == 2 and not out[4].keep
+    for i in (1, 2, 5, 6):
+        assert out[i].rep == i and out[i].keep
+    # near-dup pairs must share a cell for within-cluster search to see them
+    assert out[1].cent_id == out[3].cent_id
+    assert out[2].cent_id == out[4].cent_id
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    import math
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.similarity import semantic_dedup
+
+    # angles 0°,10°,20°: cos(10°)≈0.985 ≥ 0.97 links neighbors, but
+    # cos(20°)≈0.940 < 0.97 — a≈b≈c must still collapse to ONE group
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    vecs = spark.createDataFrame(
+        [(10, v(0)), (11, v(10)), (12, v(20))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r for r in semantic_dedup(vecs, threshold=0.97, n_clusters=1).collect()}
+    assert out[10].rep == 10 and out[11].rep == 10 and out[12].rep == 10
+    assert out[10].keep and not out[11].keep and not out[12].keep
+
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(vecs, threshold=0.0)
