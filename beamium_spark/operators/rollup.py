@@ -1058,3 +1058,62 @@ def tier_decompose(
             (F.col("value") - F.col("trend") - F.col("seasonal")).alias("remainder"),
         )
     )
+
+
+def alert_episodes(
+    alerts: DataFrame,
+    for_windows: int = 3,
+    window: str = "1 minute",
+) -> DataFrame:
+    """Compact :func:`tier_alert_rule` output into one row per alert
+    EPISODE — a maximal run of consecutive condition-true windows — the
+    shape an alertmanager ingests (fire once per incident, not once per
+    evaluation). Input must be the rule output evaluated with the same
+    ``for_windows``/``window``.
+
+    Emits (bucket, metric, episode_start, episode_end, fired_at,
+    n_windows, peak_value, fired): ``fired_at`` is the window where the
+    ``for`` clause completed (NULL while the episode never got past
+    pending — ``fired=false`` rows are near-miss audit trail).
+
+    Scale: within a run the streak increments by exactly one window, so
+    ``ws − streak·step`` is CONSTANT per run — a pure-projection anchor
+    that turns episode assembly into ONE hash aggregation (no second
+    window pass, map-side combinable, keyed (bucket, metric, anchor)).
+    """
+    if for_windows < 1:
+        raise ValueError(f"for_windows must be >= 1, got {for_windows}")
+    step = window_seconds(window)
+    ws_s = F.unix_timestamp("window_start")
+    runs = alerts.filter(F.col("streak") > 0).select(
+        "bucket",
+        "metric",
+        "window_start",
+        "value",
+        "streak",
+        (ws_s - F.col("streak") * step).alias("__anchor"),
+    )
+    return (
+        runs.groupBy("bucket", "metric", "__anchor")
+        .agg(
+            F.min("window_start").alias("episode_start"),
+            F.max("window_start").alias("episode_end"),
+            F.max("streak").alias("n_windows"),
+            F.max("value").alias("peak_value"),
+        )
+        .select(
+            "bucket",
+            "metric",
+            "episode_start",
+            "episode_end",
+            F.when(
+                F.col("n_windows") >= for_windows,
+                F.timestamp_seconds(
+                    F.unix_timestamp("episode_start") + (for_windows - 1) * step
+                ),
+            ).alias("fired_at"),
+            "n_windows",
+            "peak_value",
+            (F.col("n_windows") >= for_windows).alias("fired"),
+        )
+    )

@@ -116,6 +116,10 @@ def query(
     blocks_table: str = "blocks",
     render: str | None = None,
     ewma: float | None = None,
+    decompose: int | None = None,
+    alert: float | None = None,
+    alert_op: str = ">",
+    alert_for: int = 3,
 ) -> DataFrame:
     """(bucket, metric, window_start, value [, filled]) over [start, end).
 
@@ -165,6 +169,22 @@ def query(
     Exclusive with ``smooth``/``rate`` (they rewrite ``value``; ewma
     annotates), composes with ``anomaly`` (which still reads ``value``).
 
+    ``decompose=period`` annotates the shaped series with ``trend``/
+    ``seasonal``/``remainder`` columns — classical additive seasonal
+    decomposition (:func:`~beamium_spark.operators.rollup.
+    tier_decompose`) with seasonality of ``period`` steps (e.g.
+    ``step='1 hour', decompose=24`` = the daily cycle). Annotation only
+    (``value`` untouched), so it composes with ``anomaly``/``ewma``;
+    applied after smooth/rate so it decomposes the series the dashboard
+    shows.
+
+    ``alert=threshold`` annotates the shaped series with Prometheus-
+    style rule ``state`` (inactive/pending/firing) and ``streak``
+    columns (:func:`~beamium_spark.operators.rollup.tier_alert_rule`):
+    the condition ``value <alert_op> threshold`` must hold ``alert_for``
+    consecutive steps to fire. Reads the same shaped ``value`` as the
+    other annotations.
+
     ``render='m4'`` answers CHART reads: one row per (series, step)
     carrying the four M4 extreme points (first/min/max/last with their
     timestamps — operators/downsample.py), recomputed from the
@@ -189,6 +209,10 @@ def query(
         raise ValueError(f"ewma must be an alpha in (0, 1], got {ewma}")
     if anomaly is not None and anomaly < 2:
         raise ValueError(f"anomaly baseline width must be >= 2 steps, got {anomaly}")
+    if decompose is not None and decompose < 2:
+        raise ValueError(f"decompose period must be >= 2 steps, got {decompose}")
+    if alert is not None and alert_for < 1:
+        raise ValueError(f"alert_for must be >= 1, got {alert_for}")
     if smooth is not None and smooth < 1:
         raise ValueError(f"smooth must be >= 1, got {smooth}")
     if rate not in (False, True, "counter"):
@@ -210,10 +234,12 @@ def query(
             or anomaly is not None
             or session_gap is not None
             or ewma is not None
+            or decompose is not None
+            or alert is not None
         ):
             raise ValueError(
                 "render is exclusive with stat/fill/smooth/rate/anomaly/"
-                "ewma/session_gap"
+                "ewma/decompose/alert/session_gap"
             )
         from beamium_spark.operators.downsample import m4_downsample
 
@@ -222,10 +248,11 @@ def query(
 
     if session_gap is not None:
         if stat is not None or fill is not None or smooth is not None or rate \
-                or anomaly is not None or ewma is not None:
+                or anomaly is not None or ewma is not None \
+                or decompose is not None or alert is not None:
             raise ValueError(
                 "session_gap is exclusive with stat/fill/smooth/rate/"
-                "anomaly/ewma"
+                "anomaly/ewma/decompose/alert"
             )
         from beamium_spark.operators.rollup import session_rollup
 
@@ -266,7 +293,7 @@ def query(
             )
         )
         return _shape(out, smooth, rate, step_s, anomaly, anomaly_threshold,
-                      ewma)
+                      ewma, decompose, alert, alert_op, alert_for)
 
     if stat is not None:
         import re as _re
@@ -315,7 +342,8 @@ def query(
             )
             out = histogram_quantile(re_binned, qfrac, width)
             return _shape(out, smooth, rate, step_s, anomaly,
-                          anomaly_threshold, ewma)
+                          anomaly_threshold, ewma, decompose, alert,
+                          alert_op, alert_for)
         pts = _blocks_points(store, blocks_table, metric, start, end, bucket)
         out = (
             pts.groupBy("bucket", "metric", F.window("ts", f"{step_s} seconds").alias("w"))
@@ -325,7 +353,8 @@ def query(
             )
         )
         return _shape(out, smooth, rate, step_s, anomaly,
-                      anomaly_threshold, ewma)
+                      anomaly_threshold, ewma, decompose, alert,
+                      alert_op, alert_for)
 
     tier_name, _tier_s = select_tier(store, step_s)
 
@@ -380,7 +409,8 @@ def query(
     if fill is not None:
         cols.append("filled")
     return _shape(re_rolled.select(*cols), smooth, rate, step_s, anomaly,
-                  anomaly_threshold, ewma)
+                  anomaly_threshold, ewma, decompose, alert, alert_op,
+                  alert_for)
 
 
 def _shape(
@@ -391,6 +421,10 @@ def _shape(
     anomaly: int | None = None,
     anomaly_threshold: float = 3.0,
     ewma: float | None = None,
+    decompose: int | None = None,
+    alert: float | None = None,
+    alert_op: str = ">",
+    alert_for: int = 3,
 ) -> DataFrame:
     """Post-aggregation smoothing / rate / anomaly annotation shared by
     the tier and percentile read paths — per-series window passes over the
@@ -422,6 +456,28 @@ def _shape(
         ).select("bucket", "metric", "window_start", "ewma")
         # dashboard-sized frames; annotate without disturbing fill columns
         out = out.join(e, ["bucket", "metric", "window_start"], "left")
+    if decompose is not None:
+        from beamium_spark.operators.rollup import tier_decompose
+
+        d = tier_decompose(
+            out.select("bucket", "metric", "window_start", "value"),
+            period=decompose,
+            window=f"{step_s} seconds",
+            value_col="value",
+        ).select("bucket", "metric", "window_start", "trend", "seasonal", "remainder")
+        out = out.join(d, ["bucket", "metric", "window_start"], "left")
+    if alert is not None:
+        from beamium_spark.operators.rollup import tier_alert_rule
+
+        a = tier_alert_rule(
+            out.select("bucket", "metric", "window_start", "value"),
+            threshold=alert,
+            op=alert_op,
+            for_windows=alert_for,
+            window=f"{step_s} seconds",
+            value_col="value",
+        ).select("bucket", "metric", "window_start", "state", "streak")
+        out = out.join(a, ["bucket", "metric", "window_start"], "left")
     if anomaly is not None:
         from beamium_spark.operators.rollup import tier_anomalies
 

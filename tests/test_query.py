@@ -371,3 +371,64 @@ def test_query_distinct_requires_tier(store):
     t0 = dt.datetime(2025, 1, 1)
     with _pytest.raises(ValueError, match="distinct_1h"):
         query(store, "x", t0, t0 + dt.timedelta(days=1), stat="distinct")
+
+
+def test_query_decompose_annotation(store):
+    """decompose=period adds trend/seasonal/remainder per series; the
+    expected components are re-derived in python from the same values."""
+    import pytest as _pytest
+
+    t0 = dt.datetime(2025, 1, 1)
+    out = sorted(
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=1),
+              step="1 minute", agg="sum", fill="zero", decompose=2).collect(),
+        key=lambda r: r["window_start"],
+    )
+    assert len(out) == 60
+    vals = [r["value"] for r in out]
+    n = len(vals)
+    # even period 2 -> h=1: trend_i = (x_{i-1} + 2 x_i + x_{i+1}) / 4
+    trend = [None] + [
+        (vals[i - 1] + 2 * vals[i] + vals[i + 1]) / 4.0 for i in range(1, n - 1)
+    ] + [None]
+    det = [v - t if t is not None else None for v, t in zip(vals, trend)]
+    idx = {}
+    for ph in (0, 1):
+        ds = [d for i, d in enumerate(det) if d is not None and i % 2 == ph]
+        idx[ph] = sum(ds) / len(ds)
+    mean_idx = (idx[0] + idx[1]) / 2.0
+    for i, r in enumerate(out):
+        exp_seasonal = idx[i % 2] - mean_idx
+        assert abs(r["seasonal"] - exp_seasonal) < 1e-9
+        if trend[i] is None:
+            assert r["trend"] is None and r["remainder"] is None
+        else:
+            assert abs(r["trend"] - trend[i]) < 1e-9
+            assert abs(r["remainder"] - (vals[i] - trend[i] - exp_seasonal)) < 1e-9
+    with _pytest.raises(ValueError, match="period"):
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=1), decompose=1)
+
+
+def test_query_alert_annotation(store):
+    """alert=threshold adds rule state/streak read off the shaped value;
+    expected states re-derived in python (contiguous zero-filled grid, so
+    streaks reset only at condition edges)."""
+    import pytest as _pytest
+
+    t0 = dt.datetime(2025, 1, 1)
+    out = sorted(
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=1),
+              step="1 minute", agg="sum", fill="zero",
+              alert=3.0, alert_op=">", alert_for=2).collect(),
+        key=lambda r: r["window_start"],
+    )
+    assert len(out) == 60
+    streak = 0
+    for r in out:
+        streak = streak + 1 if r["value"] > 3.0 else 0
+        exp = "inactive" if streak == 0 else ("firing" if streak >= 2 else "pending")
+        assert r["state"] == exp, (r, exp)
+        assert r["streak"] == streak
+    with _pytest.raises(ValueError, match="alert_for"):
+        query(store, "doc_count", t0, t0 + dt.timedelta(hours=1),
+              alert=3.0, alert_for=0)

@@ -767,3 +767,33 @@ def test_tier_decompose_recovers_planted_components(spark):
 
     with _pytest.raises(ValueError, match="period"):
         tier_decompose(tier, period=1)
+
+
+def test_alert_episodes_compaction(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import alert_episodes, tier_alert_rule
+
+    t0 = dt.datetime(2025, 1, 1)
+    # runs: m1-m4 (len 4, fires at m3), m6 (len 1, never fires),
+    # m8-m9 (len 2, never fires at for_windows=3)
+    vals = {0: 1.0, 1: 9.0, 2: 8.0, 3: 7.0, 4: 9.5, 5: 1.0, 6: 9.0,
+            7: 1.0, 8: 9.0, 9: 9.0, 10: 1.0}
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), v) for i, v in vals.items()],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    alerts = tier_alert_rule(tier, 5.0, ">", for_windows=3)
+    eps = sorted(
+        alert_episodes(alerts, for_windows=3).collect(),
+        key=lambda r: r.episode_start,
+    )
+    assert len(eps) == 3
+    e1, e2, e3 = eps
+    assert (e1.episode_start.minute, e1.episode_end.minute) == (1, 4)
+    assert e1.fired and e1.fired_at.minute == 3 and e1.n_windows == 4
+    assert e1.peak_value == 9.5
+    assert (e2.episode_start.minute, e2.episode_end.minute) == (6, 6)
+    assert not e2.fired and e2.fired_at is None and e2.n_windows == 1
+    assert (e3.episode_start.minute, e3.episode_end.minute) == (8, 9)
+    assert not e3.fired and e3.n_windows == 2
