@@ -421,3 +421,68 @@ def trending_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("w.start").alias("window_start"), "term", "n", "rank")
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    min_lines: int = 3,
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al., JMLR'20 §2.2 — the
+    rules behind the public C4 corpus): per-LINE retention + per-DOC
+    rejection, the first cleaning pass of a web-corpus pipeline.
+
+    Line rules (a line survives when ALL hold):
+    - ≥ ``min_words_per_line`` whitespace words (C4 uses 5);
+    - ends in terminal punctuation ``. ! ? "`` (toggleable);
+    - contains no ``line_blocklist`` substring, case-insensitive
+      (C4 drops lines carrying the word "javascript").
+
+    Doc rules: ``keep`` = at least ``min_lines`` surviving lines (C4's
+    ≥3-sentence floor approximated at line grain, as the public
+    re-implementations do) AND no ``doc_blocklist`` substring in the
+    ORIGINAL text, case-insensitive (C4 drops "lorem ipsum" pages and
+    any page containing "{" — code). Span-level dedup (C4's
+    three-sentence rule) is :func:`~beamium_spark.operators.spandedup`'s
+    job and deliberately not duplicated here; curly-brace pages die
+    wholesale rather than per-line, matching the paper.
+
+    Output: (id, clean_text — surviving lines joined by ``\\n``,
+    n_lines, n_lines_kept, keep). Pure Catalyst projection (split /
+    filter / array_join over the line array) — zero shuffle, zero
+    Python; the plan is a scan + project whatever the corpus size.
+    """
+    if min_words_per_line < 1:
+        raise ValueError(
+            f"min_words_per_line must be >= 1, got {min_words_per_line}"
+        )
+    if min_lines < 1:
+        raise ValueError(f"min_lines must be >= 1, got {min_lines}")
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        wc = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        ok = wc >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & t.rlike('[.!?"]$')
+        for s in line_blocklist:
+            ok = ok & (~F.contains(F.lower(t), F.lit(s.lower())))
+        return ok
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _line_ok)
+    doc_ok = F.lit(True)
+    for s in doc_blocklist:
+        doc_ok = doc_ok & (~F.contains(F.lower(F.col(text_col)), F.lit(s.lower())))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        ((F.size(kept) >= min_lines) & doc_ok).alias("keep"),
+    )

@@ -61,3 +61,46 @@ def test_fingerprint_deterministic_and_order_sensitive(spark):
     d = _one(spark, "two one three", fingerprint(F.col("text")))
     assert (a, c) != (c, d) or a != c or c != d  # at least one differs
     assert a != d or a != c
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    import pytest as _pytest
+
+    from beamium_spark.operators.textstats import c4_clean
+
+    good = "\n".join(
+        [
+            "This is a perfectly reasonable sentence of text.",
+            "Another line that carries enough words to survive!",
+            'Is this a question with enough words in it?"',
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            # line-level drops: short, no terminal punct, javascript
+            (1, good + "\nshort line."
+                 + "\nThis line has plenty of words but no terminal punct"
+                 + "\nPlease enable JavaScript to view the comments."),
+            # doc-level: lorem ipsum anywhere kills the page
+            (2, good + "\nLorem Ipsum dolor sit amet filler text here."),
+            # doc-level: a curly brace anywhere kills the page (code)
+            (3, good + "\nfunction f() { return 1; } and more words here."),
+            # fewer than 3 surviving lines
+            (4, "Only one surviving line with enough words here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in c4_clean(docs).collect()}
+    assert out[0].keep and out[0].clean_text == good
+    assert out[0].n_lines == 3 and out[0].n_lines_kept == 3
+    # doc 1 keeps only the 3 good lines — the 3 bad ones each hit one rule
+    assert out[1].keep and out[1].clean_text == good
+    assert out[1].n_lines == 6 and out[1].n_lines_kept == 3
+    assert not out[2].keep and not out[3].keep
+    assert not out[4].keep and out[4].n_lines_kept == 1
+
+    with _pytest.raises(ValueError, match="min_words_per_line"):
+        c4_clean(docs, min_words_per_line=0)
+    with _pytest.raises(ValueError, match="min_lines"):
+        c4_clean(docs, min_lines=0)
