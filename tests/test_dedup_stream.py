@@ -149,6 +149,11 @@ def test_sigkill_mid_stream_then_resume(spark, tmp_path):
             repo=repo, src=d["src"], kept=d["kept"], bands=d["bands"],
             ckpt=d["ckpt"])],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        # own process group: the SIGKILL below must take the child's JVM
+        # with it — killing only the python driver leaves the JVM briefly
+        # alive to commit an in-flight microbatch against the checkpoint
+        # the parent is about to resume (CONCURRENT_STREAM_LOG_UPDATE)
+        start_new_session=True,
     )
     done = 0
     deadline = time.monotonic() + 300
@@ -162,7 +167,10 @@ def test_sigkill_mid_stream_then_resume(spark, tmp_path):
                 break
         if line.startswith("ALL_DONE"):
             break
-    os.kill(child.pid, signal.SIGKILL)
+    try:
+        os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    except ProcessLookupError:
+        pass  # child (and its group) already gone — ALL_DONE path
     child.wait()
     assert done >= 1, "child never finished an epoch before the kill"
 
