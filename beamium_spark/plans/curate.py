@@ -69,6 +69,11 @@ def curation_verdicts(
     decontam_n: int = 13,
     decontam_min_hits: int = 1,
     near_dup_threshold: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_clusters: int = 16,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
     max_span_dup_frac: float | None = None,
     span_n: int = 13,
     min_lm_logprob: float | None = None,
@@ -86,14 +91,25 @@ def curation_verdicts(
     """docs + (kept boolean, reason string|NULL) — the full audit frame.
 
     ``reason`` is the FIRST failing stage in precedence order
-    (duplicate > near_duplicate > contaminated > bad_domain >
-    low_quality > lm_low > repetitive > span_dup > sampled_out);
-    ``kept`` ⇔ reason IS NULL. Benchmark None
+    (duplicate > near_duplicate > semantic_dup > contaminated >
+    bad_domain > low_quality > lm_low > repetitive > span_dup >
+    sampled_out); ``kept`` ⇔ reason IS NULL. Benchmark None
     skips decontamination; sample_fraction None skips sampling;
     ``near_dup_threshold`` (a Jaccard level, e.g. 0.8) adds MinHash-LSH
     near-dedup — each cluster keeps its min-id representative, every
     other member drops as 'near_duplicate' (exact copies still report
     'duplicate': that stage wins precedence).
+
+    ``embeddings`` (a frame of ``emb_id_col``/``emb_vec_col`` whose ids
+    are the corpus ``id_col`` values) adds the SemDeDup stage: documents
+    that are near-duplicates in EMBEDDING space — paraphrases and
+    template rewrites lexical MinHash misses — drop as 'semantic_dup',
+    each group keeping its min-id representative
+    (:func:`~beamium_spark.operators.similarity.semantic_dedup`;
+    ``semantic_threshold`` cosine, ``semantic_clusters`` cells — size it
+    ∝ corpus/cell so within-cell pair cost stays bounded). The doomed-id
+    join-back rides the same ``broadcast_ids`` contract as the other
+    dedup stages.
 
     ``max_span_dup_frac`` (e.g. 0.5) adds the duplicated-passage filter:
     docs whose corpus-wide duplicated-span coverage
@@ -165,6 +181,28 @@ def curation_verdicts(
         )
     else:
         v = v.withColumn("__near", F.lit(False))
+
+    if embeddings is not None:
+        from beamium_spark.operators.similarity import semantic_dedup
+
+        sem_doomed = (
+            semantic_dedup(
+                embeddings,
+                threshold=semantic_threshold,
+                n_clusters=semantic_clusters,
+                vec_col=emb_vec_col,
+                id_col=emb_id_col,
+            )
+            .filter(~F.col("keep"))
+            .select(F.col("id").alias(id_col), F.lit(True).alias("__sem"))
+        )
+        # non-representative members ≪ corpus at sane dup rates; same
+        # broadcast_ids escape hatch as the other dedup join-backs
+        v = v.join(_maybe_broadcast(sem_doomed, broadcast_ids), id_col, "left").withColumn(
+            "__sem", F.coalesce("__sem", F.lit(False))
+        )
+    else:
+        v = v.withColumn("__sem", F.lit(False))
 
     if benchmark is not None:
         from beamium_spark.operators.decontam import contamination
@@ -251,6 +289,7 @@ def curation_verdicts(
     reason = (
         F.when(~F.col("__dup_keep"), F.lit("duplicate"))
         .when(F.col("__near"), F.lit("near_duplicate"))
+        .when(F.col("__sem"), F.lit("semantic_dup"))
         .when(F.col("__contam"), F.lit("contaminated"))
         .when(F.col("__bad_dom"), F.lit("bad_domain"))
         .when(F.col("__q") < min_quality, F.lit("low_quality"))
@@ -263,7 +302,7 @@ def curation_verdicts(
         v.withColumn("reason", reason)
         .withColumn("kept", F.col("reason").isNull())
         .drop(
-            "__dup_keep", "__near", "__contam", "__bad_dom", "__q",
+            "__dup_keep", "__near", "__sem", "__contam", "__bad_dom", "__q",
             "dup_line_frac", "top_bigram_frac", "dup_fraction", "avg_logprob",
         )
     )

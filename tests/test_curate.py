@@ -271,3 +271,41 @@ def test_curate_domain_stage(spark):
     clean, report = curate(docs, domain_col="source", min_quality=0.0)
     rep = {r["outcome"]: r["n"] for r in report.collect()}
     assert rep == {"kept": 4, "duplicate": 1, "bad_domain": 2}
+
+
+def test_curate_semantic_dedup_stage(spark):
+    """embeddings= adds SemDeDup: an embedding-space near-dup (a
+    paraphrase with DIFFERENT text, invisible to exact/MinHash stages)
+    drops as 'semantic_dup'; the min-id representative survives; exact
+    duplicates still win precedence."""
+    mkwords = lambda s: s + " with plenty of extra filler words here to " \
+        "pass the quality floor for the test and it was that good for it"
+    docs = spark.createDataFrame(
+        [
+            (1, mkwords("the quick brown fox jumps over the lazy dog")),
+            (2, mkwords("a speedy auburn fox leapt across an idle hound")),
+            (3, mkwords("the quick brown fox jumps over the lazy dog")),
+            (4, mkwords("a completely unrelated report about the weather")),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.02, 0.0, 0.0]),
+            (2, [0.99, 0.03, 0.0, 0.0]),   # paraphrase of 1 in embedding space
+            (3, [1.0, 0.02, 0.0, 0.01]),   # exact text dup of 1 (close anyway)
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # one cell: with 4 vectors, per-id seeds would put the planted pair
+    # in separate cells (k ≈ n degenerates SemDeDup — see the operator
+    # docstring's n_clusters sizing note)
+    v = {r["doc_id"]: r["reason"] for r in curation_verdicts(
+        docs, embeddings=emb, semantic_threshold=0.95, semantic_clusters=1,
+        min_quality=0.0,
+    ).collect()}
+    assert v[1] is None
+    assert v[2] == "semantic_dup"      # different text, same meaning-space
+    assert v[3] == "duplicate"         # exact text copy wins precedence
+    assert v[4] is None
