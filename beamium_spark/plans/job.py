@@ -47,6 +47,25 @@ class RetentionPolicy:
 
 
 @dataclass
+class AlertRule:
+    """One Prometheus-style rule the job evaluates per tick over the
+    maintained 1m tier: ``value <op> threshold`` for ``for_windows``
+    consecutive minutes on series whose metric matches the anchored
+    regex. ``name`` labels the output rows (defaults to the rule
+    expression)."""
+
+    metric: str
+    threshold: float
+    op: str = ">"
+    for_windows: int = 3
+    name: str | None = None
+
+    @property
+    def label(self) -> str:
+        return self.name or f"{self.metric}{self.op}{self.threshold}for{self.for_windows}m"
+
+
+@dataclass
 class JobConf:
     """Engine config; defaults echo the reference's capacity constants
     (SURVEY.md §6)."""
@@ -69,6 +88,12 @@ class JobConf:
     # per-tick incremental compaction: chunks exceeding this many parquet
     # files get rewritten after retention (0 = off)
     max_files_per_chunk: int = 8
+    # per-tick alert-rule evaluation (list of AlertRule): episodes land
+    # in the 'alerts' table, evaluated PER TOUCHED DAY so replays are
+    # deterministic regardless of which tick recomputes a day (streaks
+    # reset at day boundaries by construction — the same complete-day
+    # recompute contract as the cascades)
+    alert_rules: list = field(default_factory=list)
     retention: dict = field(
         default_factory=lambda: {
             # 1m keeps 2 days, 1h keeps 2 weeks, 1d keeps forever;
@@ -83,6 +108,8 @@ class JobConf:
             # distinct-sketch tier (written only when distinct_lgk is
             # set) follows the 1h tier's horizon
             "distinct_1h": RetentionPolicy(ttl_hours=14 * 24),
+            # alert episodes (written only when alert_rules is set)
+            "alerts": RetentionPolicy(ttl_hours=14 * 24),
         }
     )
 
@@ -304,6 +331,33 @@ class RollupJob:
             .withColumn("chunk_start", F.col("window_start"))
         )
         fwd_1d = self._write_tier_data(t1d, "rollup_1d")
+
+        if self.conf.alert_rules:
+            from beamium_spark.operators.rollup import alert_episodes, tier_alert_rule
+
+            # evaluate each touched day INDEPENDENTLY: the day is the
+            # overwrite unit, so whichever tick recomputes it produces
+            # identical episodes (streaks reset at midnight by contract)
+            t1m_stored = self.store.read("rollup_1m")
+            eps = None
+            for d in touched_dates:
+                day = t1m_stored.filter(F.to_date("window_start") == d)
+                for rule in self.conf.alert_rules:
+                    a = tier_alert_rule(
+                        day.filter(F.col("metric").rlike(f"^(?:{rule.metric})$")),
+                        rule.threshold,
+                        rule.op,
+                        rule.for_windows,
+                        "1 minute",
+                    )
+                    e = alert_episodes(a, rule.for_windows, "1 minute").withColumn(
+                        "rule", F.lit(rule.label)
+                    )
+                    eps = e if eps is None else eps.unionByName(e)
+            eps = eps.withColumn("chunk_start", F.date_trunc("day", "episode_start"))
+            commit_with_retry(
+                lambda: self.store.write_chunks(eps, "alerts", "chunk_start")
+            )
 
         # the resumability fence: only now is the chunk "forwarded"
         commit_with_retry(

@@ -295,3 +295,48 @@ def test_job_maintains_distinct_tier(spark, pages_path, tmp_path):
     job2.run()
     snap2 = sorted((r["window_start"],) for r in store.read("distinct_1h").collect())
     assert snap == snap2
+
+
+def test_job_maintains_alerts_table(spark, pages_path, tmp_path):
+    """JobConf.alert_rules turns on per-tick alert-episode evaluation:
+    episodes land in the 'alerts' table, match a direct evaluation over
+    the stored 1m tier per day, and re-running the job is idempotent."""
+    from beamium_spark.operators.rollup import alert_episodes, tier_alert_rule
+    from beamium_spark.plans.job import AlertRule
+    from beamium_spark.sources.tables import ParquetTierStore
+
+    state = str(tmp_path / "s")
+    rule = AlertRule(metric="doc_count", threshold=1.0, op=">", for_windows=2)
+    job = RollupJob(
+        spark, pages_path, state, JobConf(bucket_mode="site", alert_rules=[rule])
+    )
+    job.run()
+    store = ParquetTierStore(spark, state)
+    assert store.exists("alerts")
+    got = store.read("alerts")
+    assert got.filter(F.col("rule") != rule.label).count() == 0
+    # at threshold>1 with 2-minute for-duration something fires on the
+    # fixture (sites post multiple docs/minute in bursts)
+    assert got.count() > 0
+
+    # direct per-day evaluation over the stored tier must match
+    t1m = store.read("rollup_1m").filter(F.col("metric") == "doc_count")
+    days = [r["d"] for r in t1m.select(F.to_date("window_start").alias("d")).distinct().collect()]
+    exp = None
+    for d in days:
+        e = alert_episodes(
+            tier_alert_rule(
+                t1m.filter(F.to_date("window_start") == d), 1.0, ">", 2, "1 minute"
+            ),
+            2,
+            "1 minute",
+        )
+        exp = e if exp is None else exp.unionByName(e)
+    cols = ["bucket", "metric", "episode_start", "episode_end", "n_windows", "fired"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    # idempotent: a no-work rerun leaves the table unchanged
+    n0 = got.count()
+    job.run()
+    assert store.read("alerts").count() == n0
