@@ -102,3 +102,35 @@ def test_apply_bpe_matches_reference_tokens(spark):
     # every word's tokens re-concatenate to the word + end marker
     joined = "".join(out[0]).replace("</w>", " ").strip()
     assert joined == TEXTS[0].lower()
+
+
+def test_bpe_tokens_feed_sequence_packing(spark):
+    """The composition a pretraining pipeline runs: train BPE on the
+    corpus, tokenize with it, and pack the REAL subword counts into
+    fixed-length sequences (pack_sequences' tokens_col plug point)."""
+    from pyspark.sql import functions as F
+
+    from beamium_spark.operators.bpe import apply_bpe, train_bpe
+    from beamium_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                                 "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=8, min_count=2)
+    tok = apply_bpe(docs, merges).withColumn("n_bpe", F.size("tokens"))
+    packed = pack_sequences(
+        tok, seq_len=16, n_shards=2, tokens_col="n_bpe"
+    ).collect()
+    by_id = {r.id: r for r in packed}
+    assert len(by_id) == len(TEXTS)
+    tok_counts = {r.doc_id: r.n_bpe for r in tok.collect()}
+    for r in packed:
+        assert r.n_tokens == tok_counts[r.id]        # real subword counts
+        assert r.tok_end - r.tok_start == r.n_tokens
+        assert r.seq_first == r.tok_start // 16
+        assert r.seq_last == max(r.tok_start, r.tok_end - 1) // 16
+    # within a shard, the next doc starts after the EOD separator slot
+    for shard in (0, 1):
+        rows = sorted((r for r in packed if r.shard == shard),
+                      key=lambda r: r.tok_start)
+        for a, b in zip(rows, rows[1:]):
+            assert b.tok_start == a.tok_end + 1
