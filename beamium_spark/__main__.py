@@ -90,6 +90,13 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="max rows printed without --out (default 1000)")
     q.add_argument("--ewma", type=float, default=None,
                    help="annotate with recursive EWMA at this alpha")
+    q.add_argument("--decompose", type=int, default=None,
+                   help="annotate trend/seasonal/remainder (period in steps)")
+    q.add_argument("--alert", type=float, default=None,
+                   help="annotate rule state/streak (threshold; see --alert-for)")
+    q.add_argument("--alert-op", default=">", choices=[">", ">=", "<", "<="])
+    q.add_argument("--alert-for", type=int, default=3,
+                   help="consecutive steps before the rule fires (default 3)")
     q.add_argument("--render", default=None, choices=["m4"],
                    help="chart read: M4 extremes per step from the block store")
     c = p.add_argument_group("curate mode (--curate)")
@@ -160,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
             anomaly=args.anomaly,
             ewma=args.ewma,
             render=args.render,
+            decompose=args.decompose,
+            alert=args.alert,
+            alert_op=args.alert_op,
+            alert_for=args.alert_for,
         )
         order = ("session_start" if args.session_gap
                  else "ws" if args.render else "window_start")

@@ -168,3 +168,27 @@ def test_cli_query_render_and_ewma_flags(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")]
     assert rows and "ewma" in rows[0]
+
+
+def test_cli_query_decompose_and_alert_flags(spark, tmp_path, capsys):
+    pages = ensure_web_pages(0.0003)
+    state = str(tmp_path / "state")
+    rc = main(["--pages", pages, "--state", state, "--now", "2025-01-01T00:00:00"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "--state", state, "--query",
+        "--metric", "doc_count",
+        "--start", "2025-01-01T00:00:00", "--end", "2025-01-02T00:00:00",
+        "--step", "1 hour", "--agg", "sum", "--fill", "zero",
+        "--decompose", "6", "--alert", "2.0", "--alert-for", "2",
+        "--limit", "30",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    data = [r for r in rows if "state" in r]
+    assert data and {"trend", "seasonal", "remainder", "state", "streak"} <= set(data[0])
+    assert all(r["state"] in ("inactive", "pending", "firing") for r in data)
+    # interior rows of a zero-filled grid have a full decomposition frame
+    assert any(r["trend"] is not None for r in data)
