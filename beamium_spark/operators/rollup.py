@@ -1117,3 +1117,62 @@ def alert_episodes(
             (F.col("n_windows") >= for_windows).alias("fired"),
         )
     )
+
+
+def tier_anomalies_robust(
+    tier: DataFrame,
+    k: int = 20,
+    value_col: str = "sum_value",
+    threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Robust (median/IQR) rolling anomaly flags — the outlier-resistant
+    companion to :func:`tier_anomalies`: a mean/stddev baseline is
+    dragged by the very spikes it should flag (one 100× point inflates
+    the std for the next ``k`` windows, masking later spikes), while the
+    median and interquartile range ignore up to a quarter of wild
+    points. ``robust_z = (x − median) / (0.7413·IQR)`` (0.7413 = the
+    IQR→σ consistency constant for a normal distribution, so
+    ``threshold`` keeps its z-score meaning); flagged when |rz| >
+    ``threshold``.
+
+    The baseline frame is the TRAILING k rows strictly before each row
+    (same self-exclusion argument as tier_anomalies); ``robust_z`` is
+    NULL below ``min_points`` baseline rows or when IQR = 0 (a
+    half-constant baseline flags nothing — the booting-series choice).
+
+    Scale: exact ``percentile`` evaluated as a WINDOW aggregate over
+    the same (bucket, metric) partitioning every other tier window op
+    uses — one exchange, frames bounded by k; per-frame cost O(k log k)
+    on k ≤ a few hundred rows is noise next to the exchange.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    w = (
+        Window.partitionBy("bucket", "metric")
+        .orderBy("window_start")
+        .rowsBetween(-k, -1)
+    )
+    x = F.col(value_col).cast("double")
+    med = F.percentile(x, F.lit(0.5)).over(w)
+    q1 = F.percentile(x, F.lit(0.25)).over(w)
+    q3 = F.percentile(x, F.lit(0.75)).over(w)
+    out = (
+        tier.withColumn("base_med", med)
+        .withColumn("base_iqr", q3 - q1)
+        .withColumn("base_n", F.count(x).over(w))
+        .withColumn(
+            "robust_z",
+            F.when(
+                (F.col("base_n") >= min_points) & (F.col("base_iqr") > 0),
+                (x - F.col("base_med")) / (F.lit(0.7413) * F.col("base_iqr")),
+            ),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("robust_z")) > threshold, F.lit(False)),
+        )
+    )
+    return out

@@ -797,3 +797,45 @@ def test_alert_episodes_compaction(spark):
     assert not e2.fired and e2.fired_at is None and e2.n_windows == 1
     assert (e3.episode_start.minute, e3.episode_end.minute) == (8, 9)
     assert not e3.fired and e3.n_windows == 2
+
+
+def test_tier_anomalies_robust_vs_masked_spike(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_anomalies, tier_anomalies_robust
+
+    t0 = dt.datetime(2025, 1, 1)
+    # one huge spike at minute 6, a second (smaller but real) spike at
+    # minute 9: the mean/std baseline is inflated by the first spike and
+    # MASKS the second; the median/IQR baseline flags both
+    vals = [10, 11, 9, 10, 11, 10, 500, 10, 9, 60, 10, 11]
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    robust = {
+        r.window_start.minute: r
+        for r in tier_anomalies_robust(tier, k=8, threshold=3.0, min_points=5).collect()
+    }
+    classic = {
+        r.window_start.minute: r
+        for r in tier_anomalies(tier, k=8, threshold=3.0, min_points=5).collect()
+    }
+    assert robust[6].is_anomaly and classic[6].is_anomaly     # both see 500
+    assert robust[9].is_anomaly                               # robust sees 60
+    assert not classic[9].is_anomaly                          # std inflated by 500
+    # gating: NULL below min_points, constant-IQR guard
+    assert robust[0].robust_z is None and not robust[0].is_anomaly
+    flat = spark.createDataFrame(
+        [(0, "f", t0 + dt.timedelta(minutes=i), 5.0) for i in range(8)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    fr = tier_anomalies_robust(flat, k=6, min_points=3).collect()
+    assert all(r.robust_z is None and not r.is_anomaly for r in fr)
+
+    with _pytest.raises(ValueError, match="k must"):
+        tier_anomalies_robust(tier, k=0)
+    with _pytest.raises(ValueError, match="min_points"):
+        tier_anomalies_robust(tier, min_points=1)
