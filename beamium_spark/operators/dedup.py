@@ -632,6 +632,77 @@ def url_dedup(
     )
 
 
+#: path extensions that never carry training text (binaries/media/assets)
+URL_EXT_BLOCKLIST = (
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico",
+    "mp3", "mp4", "avi", "mov", "webm",
+    "zip", "gz", "tar", "rar", "7z", "exe", "dmg", "iso",
+    "css", "js", "woff", "woff2", "ttf",
+)
+
+
+def url_filter_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
+    ext_blocklist: tuple[str, ...] = URL_EXT_BLOCKLIST,
+    host_blocklist: tuple[str, ...] = (),
+    max_len: int = 2048,
+    max_query_params: int = 8,
+) -> DataFrame:
+    """Crawl-frontier URL filtering (the RefinedWeb/CCNet pre-fetch
+    pass): verdict per URL BEFORE any text is touched — the cheapest
+    stage of the pipeline, so it runs first. Complements
+    :func:`canonical_url`/:func:`url_dedup` (identity) with POLICY.
+
+    Rules, first failing one is the ``reason``:
+
+    - ``bad_scheme``       — scheme missing or ∉ ``allowed_schemes``;
+    - ``userinfo``         — credentials in the authority (crawler traps);
+    - ``ip_host``          — dotted-quad host (no registrable domain);
+    - ``too_long``         — > ``max_len`` chars (session-id/loop traps);
+    - ``bad_extension``    — path extension ∈ ``ext_blocklist`` (binary/
+      media assets that never carry text);
+    - ``too_many_params``  — > ``max_query_params`` query params
+      (faceted-search/calendar traps);
+    - ``blocked_host``     — host contains a ``host_blocklist`` entry
+      (policy lists are deployment-supplied; default empty).
+
+    Pure projection (regex/string ops, engine-neutral — the oracle
+    replays them verbatim): zero shuffle at any corpus size.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r"^.*@", ""), r":\d+$", ""
+    )
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([a-zA-Z0-9]+)$", 1))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    blocked = F.lit(False)
+    for s in host_blocklist:
+        blocked = blocked | F.contains(host, F.lit(s.lower()))
+    reason = (
+        F.when(~scheme.isin(*[s.lower() for s in allowed_schemes]), F.lit("bad_scheme"))
+        .when(F.contains(authority, F.lit("@")), F.lit("userinfo"))
+        .when(host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), F.lit("ip_host"))
+        .when(F.length(url) > max_len, F.lit("too_long"))
+        .when(ext.isin(*ext_blocklist), F.lit("bad_extension"))
+        .when(n_params > max_query_params, F.lit("too_many_params"))
+        .when(blocked, F.lit("blocked_host"))
+    )
+    return pages.select(
+        url.alias("url"),
+        host.alias("host"),
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def dedup_paragraphs_rewrite(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

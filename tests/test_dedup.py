@@ -338,3 +338,37 @@ def test_exact_dedup_incremental(spark):
     a = {tuple(r) for r in signature_frame(kept_all).collect()}
     b = {tuple(r) for r in store.collect()}
     assert a == b
+
+
+def test_url_filter_stats_rules_and_precedence(spark):
+    from beamium_spark.operators.dedup import url_filter_stats
+
+    urls = [
+        ("https://good.example/article.html",            None),
+        ("http://good.example/path/page",                None),
+        ("ftp://files.example/a.txt",                    "bad_scheme"),
+        ("no-scheme-at-all",                             "bad_scheme"),
+        ("https://user:pw@trap.example/page",            "userinfo"),
+        ("https://192.168.10.1/admin",                   "ip_host"),
+        ("https://cdn.example/logo.PNG",                 "bad_extension"),
+        ("https://cdn.example/app.js?v=3",               "bad_extension"),
+        ("https://shop.example/f?" + "&".join(f"p{i}=1" for i in range(12)),
+                                                         "too_many_params"),
+        ("https://long.example/" + "a" * 3000,           "too_long"),
+        ("https://ads.blocked.example/page",             "blocked_host"),
+        # precedence: userinfo fires before the bad extension
+        ("https://u@trap.example/x.zip",                 "userinfo"),
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {r.url: (r.reason, r.keep) for r in url_filter_stats(
+        pages, host_blocklist=("blocked.example",)
+    ).collect()}
+    for u, want in urls:
+        reason, keep = got[u]
+        assert reason == want, (u, reason, want)
+        assert keep == (want is None)
+    # host extraction strips userinfo and port
+    host = {r.url: r.host for r in url_filter_stats(
+        spark.createDataFrame([("https://u@h.example:8443/p",)], "url string")
+    ).collect()}
+    assert host["https://u@h.example:8443/p"] == "h.example"
