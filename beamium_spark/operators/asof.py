@@ -149,3 +149,74 @@ def asof_join(
         match["__rts"].alias("asof_" + right_ts),
         *[match[c].alias("asof_" + c) for c in value_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval join: every left row paired with the right
+    intervals containing its timestamp (``start <= ts < end``,
+    optionally also matching the ``on`` key columns) — the other
+    time-series join Spark lacks as a primitive (as-of = latest state;
+    interval = containment: maintenance windows, sessions, experiment
+    spans, outage annotations).
+
+    Spark-first implementation — bucketized equi-join, NOT a raw
+    inequality join (which Catalyst can only plan as a broadcast
+    nested loop / cartesian — O(n·m) at corpus scale):
+
+    1. each interval explodes to the time BUCKETS it overlaps
+       (``sequence(floor(start/w), floor((end−1)/w))``);
+    2. points carry their single bucket ``floor(ts/w)``;
+    3. ONE hash equi-join on (on..., bucket), then the exact
+       ``start <= ts < end`` post-filter.
+
+    No dedup pass is needed: a point lives in exactly one bucket, so a
+    (point, interval) pair can only meet once.
+
+    Scale: the shuffle is keyed (on..., bucket) — time-spread keys, no
+    monolithic sort anywhere. Fan-out per interval = ceil(span/w):
+    pick ``bucket`` near the TYPICAL interval length so most intervals
+    land in 1-2 buckets; a pathological months-long interval costs
+    span/w join rows (linear, never quadratic — and such annotation
+    intervals are few by nature).
+
+    INNER semantics only: points outside every interval drop. Left
+    semantics compose as the caller's anti-join (a bucket-level left
+    join here would silently drop bucket-matched-but-range-failed
+    points — the correct NULL-padding needs a per-point identity this
+    operator doesn't demand).
+
+    Interval columns are carried as a struct ``interval``
+    (start, end, plus every other right column) to avoid name clashes.
+    """
+    from beamium_spark.operators.rollup import window_seconds
+
+    # microsecond arithmetic end to end: containment keeps full
+    # timestamp precision (a second-truncated compare misclassifies
+    # sub-second boundaries)
+    w = window_seconds(bucket) * 1_000_000
+    s = F.unix_micros(F.col(start_col))
+    e = F.unix_micros(F.col(end_col))
+    payload_cols = [c for c in intervals.columns if c not in on]
+    iv = intervals.select(
+        *on,
+        F.struct(*payload_cols).alias("interval"),
+        F.explode(
+            F.sequence(F.floor(s / w), F.floor((e - 1) / w))
+        ).alias("__b"),
+        s.alias("__s"),
+        e.alias("__e"),
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    pts = points.withColumn("__b", F.floor(ts_us / w)).withColumn("__ts_us", ts_us)
+    joined = pts.join(iv, [*on, "__b"]).filter(
+        (F.col("__s") <= F.col("__ts_us")) & (F.col("__ts_us") < F.col("__e"))
+    )
+    return joined.drop("__b", "__s", "__e", "__ts_us")

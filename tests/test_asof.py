@@ -208,3 +208,76 @@ def test_asof_hot_key_is_sharded(spark):
     )
     assert sizes <= step // 2 + 1  # 2s cadence -> ≤151 rows per chunk-task
     assert sizes < n_hot / 5  # far below the monolithic hot partition
+
+
+def test_interval_join_matches_inequality_oracle(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from beamium_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(minutes=m), float(m))
+         for k in ("a", "b") for m in range(0, 600, 7)],
+        "k string, ts timestamp, v double",
+    )
+    # overlapping, multi-bucket, and sub-bucket intervals per key
+    iv = spark.createDataFrame(
+        [
+            ("a", 1, t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(minutes=40)),
+            ("a", 2, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(minutes=300)),
+            ("a", 3, t0 + dt.timedelta(minutes=35), t0 + dt.timedelta(minutes=36)),
+            ("b", 4, t0 + dt.timedelta(minutes=100), t0 + dt.timedelta(minutes=130)),
+        ],
+        "k string, iv_id int, start timestamp, end timestamp",
+    )
+    for bucket in ("1 hour", "10 minutes", "1 day"):
+        got = sorted(
+            (r.k, r.ts, r.interval.iv_id)
+            for r in interval_join(pts, iv, on=("k",), bucket=bucket).collect()
+        )
+        exp = sorted(
+            (r.k, r.ts, r.iv_id)
+            for r in pts.join(iv, "k")
+            .filter((F.col("start") <= F.col("ts")) & (F.col("ts") < F.col("end")))
+            .collect()
+        )
+        assert got == exp, bucket
+    # boundary semantics: start inclusive, end exclusive
+    edge = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(minutes=10), 0.0),
+         ("a", t0 + dt.timedelta(minutes=40), 0.0)],
+        "k string, ts timestamp, v double",
+    )
+    hits = interval_join(edge, iv, on=("k",)).select("ts", "interval.iv_id").collect()
+    pairs = {(r.ts.minute, r.iv_id) for r in hits}
+    assert (10, 1) in pairs and (40, 1) not in pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        interval_join(pts, iv, on=("k",), bucket="nonsense")
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [("a", t0, 1.0)], "k string, ts timestamp, v double"
+    )
+    iv = spark.createDataFrame(
+        [("a", 1, t0, t0 + dt.timedelta(hours=1))],
+        "k string, iv_id int, start timestamp, end timestamp",
+    )
+    plan = (
+        interval_join(pts, iv, on=("k",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the whole point: containment joins as a hash/merge EQUI-join on
+    # (key, bucket), never a nested-loop/cartesian range probe
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
