@@ -317,14 +317,33 @@ def tier_moving_agg(
     :func:`beamium_spark.operators.gapfill.gapfill` first for sparse
     series where the distinction matters.
 
+    Stats: ``avg|min|max|sum`` plus ``pNN[.N]`` percentiles (PromQL
+    ``quantile_over_time`` — exact linear interpolation evaluated as a
+    window aggregate, same frame; emitted as ``mov_p95`` etc.).
+
     Scale: same single per-series sort window as :func:`tier_rate` — a
     series' tier rows are bounded by time span / window size, never by
-    raw data, which is what makes per-series frames safe at 10^12 docs.
+    raw data, which is what makes per-series frames safe at 10^12 docs;
+    percentile frames add O(k log k) per row on k ≤ a few hundred.
     """
+    import re as _re
+
     allowed = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
-    bad = [s for s in stats if s not in allowed]
-    if bad:
-        raise ValueError(f"unsupported moving stats {bad}: pick from {sorted(allowed)}")
+
+    def _agg(stat: str):
+        if stat in allowed:
+            return allowed[stat](value_col)
+        m = _re.fullmatch(r"p(100(?:\.0+)?|\d{1,2}(?:\.\d+)?)", stat)
+        if m:
+            return F.percentile(
+                F.col(value_col).cast("double"), F.lit(float(m.group(1)) / 100.0)
+            )
+        raise ValueError(
+            f"unsupported moving stats ['{stat}']: pick from "
+            f"{sorted(allowed)} or 'pNN' percentiles"
+        )
+
+    aggs = {s: _agg(s) for s in stats}
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = (
@@ -334,7 +353,7 @@ def tier_moving_agg(
     )
     out = tier
     for s in stats:
-        out = out.withColumn(f"mov_{s}", allowed[s](value_col).over(w))
+        out = out.withColumn(f"mov_{s}", aggs[s].over(w))
     return out
 
 

@@ -839,3 +839,30 @@ def test_tier_anomalies_robust_vs_masked_spike(spark):
         tier_anomalies_robust(tier, k=0)
     with _pytest.raises(ValueError, match="min_points"):
         tier_anomalies_robust(tier, min_points=1)
+
+
+def test_tier_moving_percentile(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_moving_agg
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [10.0, 20.0, 60.0, 0.0, 10.0, 30.0]
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    out = {
+        r.window_start.minute: (r.mov_p50, r.mov_p100)
+        for r in tier_moving_agg(tier, k=3, stats=("p50", "p100")).collect()
+    }
+    import statistics
+
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 2): i + 1]
+        assert abs(out[i][0] - statistics.median(frame)) < 1e-12, i
+        assert out[i][1] == max(frame)
+    with _pytest.raises(ValueError, match="unsupported moving stats"):
+        tier_moving_agg(tier, stats=("p105x",))
