@@ -150,3 +150,61 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
         )
     )
+
+
+def event_paths(
+    events: DataFrame,
+    k: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top event-type PATHS: the most common length-``k`` contiguous
+    event sequences across users ("view > click > purchase") — the
+    exploratory read that tells you which funnels to define. N-gram
+    counting over per-user event sequences.
+
+    Output: (path — ' > '-joined, n, rank ≤ ``top``), tiebreak n desc
+    then path asc (deterministic).
+
+    Scale: per-user ordered type arrays (one user-keyed exchange;
+    arrays bounded by a user's own activity), length-k windows sliced
+    by a higher-order transform (no self-join), then a map-side-combined
+    count and a TakeOrdered top-k — no global sort.
+    """
+    if k < 2:
+        raise ValueError(f"paths need k >= 2, got {k}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("t"),
+                        F.col(type_col).alias("y"),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("types")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("types") - k + 1, F.lit(0))),
+        lambda i: F.slice("types", i, k),
+    )
+    paths = (
+        per_user.filter(F.size("types") >= k)
+        .select(F.explode(windows).alias("w"))
+        .select(F.array_join("w", " > ").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = paths.orderBy(F.desc("n"), F.asc("path")).limit(top)
+    from pyspark.sql import Window
+
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("path"))),
+    )

@@ -1195,3 +1195,45 @@ def tier_anomalies_robust(
         )
     )
     return out
+
+
+def tier_level_shift(
+    tier: DataFrame,
+    k: int = 12,
+    value_col: str = "sum_value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Level-shift (changepoint) score per tier row: a two-sample
+    comparison of the ``k`` windows ENDING before this row vs the ``k``
+    windows STARTING at it — ``shift_score = (after_avg − before_avg) /
+    (pooled_std · √(2/k))``, the equal-n Welch-ish statistic. A
+    sustained regime change scores high at its boundary row while a
+    single spike (which :func:`tier_anomalies` flags) barely moves the
+    window means. NULL until BOTH frames are full (k rows each) or when
+    the pooled std is 0; ``is_shift`` when |score| > ``threshold``.
+
+    Scale: two row-frames on the one (bucket, metric) window
+    partitioning every tier op shares — a single exchange + sort.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    before = w.rowsBetween(-k, -1)
+    after = w.rowsBetween(0, k - 1)
+    x = F.col(value_col).cast("double")
+    m1, m2 = F.avg(x).over(before), F.avg(x).over(after)
+    s1, s2 = F.stddev_samp(x).over(before), F.stddev_samp(x).over(after)
+    full = (F.count(x).over(before) == k) & (F.count(x).over(after) == k)
+    pooled = F.sqrt((s1 * s1 + s2 * s2) / 2.0)
+    score = F.when(
+        full & (pooled > 0),
+        (m2 - m1) / (pooled * F.sqrt(F.lit(2.0 / k))),
+    )
+    return (
+        tier.withColumn("before_avg", F.when(full, m1))
+        .withColumn("after_avg", F.when(full, m2))
+        .withColumn("shift_score", score)
+        .withColumn(
+            "is_shift", F.coalesce(F.abs(score) > threshold, F.lit(False))
+        )
+    )

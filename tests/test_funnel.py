@@ -86,3 +86,31 @@ def test_retention_cohorts_matrix(spark):
 
     with pytest.raises(ValueError, match="horizon"):
         retention_cohorts(_ev(spark, rows), horizon=0)
+
+
+def test_event_paths_top_sequences(spark):
+    from beamium_spark.operators.funnel import event_paths
+
+    rows = []
+    # 3 users walk view>click>purchase; 2 users walk view>view>error
+    for u in (1, 2, 3):
+        rows += [(u, 0, "view"), (u, 1, "click"), (u, 2, "purchase")]
+    for u in (4, 5):
+        rows += [(u, 0, "view"), (u, 1, "view"), (u, 2, "error")]
+    # a short user contributes nothing at k=3
+    rows += [(6, 0, "view"), (6, 1, "click")]
+    out = event_paths(_ev(spark, rows), k=3, top=5).collect()
+    ranked = [(r.rank, r.path, r.n) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == (1, "view > click > purchase", 3)
+    assert ranked[1] == (2, "view > view > error", 2)
+    assert len(ranked) == 2
+
+    # sliding windows: a 4-event walk yields two length-3 paths
+    slide = _ev(spark, [(9, 0, "a"), (9, 1, "b"), (9, 2, "c"), (9, 3, "d")])
+    got = {r.path for r in event_paths(slide, k=3, top=10).collect()}
+    assert got == {"a > b > c", "b > c > d"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 2"):
+        event_paths(slide, k=1)

@@ -866,3 +866,34 @@ def test_tier_moving_percentile(spark):
         assert out[i][1] == max(frame)
     with _pytest.raises(ValueError, match="unsupported moving stats"):
         tier_moving_agg(tier, stats=("p105x",))
+
+
+def test_tier_level_shift_detects_regime_change(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from beamium_spark.operators.rollup import tier_level_shift
+
+    t0 = dt.datetime(2025, 1, 1)
+    # regime change at minute 8: 10±1 -> 50±1; plus one lone spike at
+    # minute 3 that must NOT read as a shift
+    vals = [10, 11, 9, 100, 10, 11, 9, 10, 50, 51, 49, 50, 51, 49, 50, 50]
+    tier = spark.createDataFrame(
+        [(0, "m", t0 + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    out = {
+        r.window_start.minute: r
+        for r in tier_level_shift(tier, k=4, threshold=3.0).collect()
+    }
+    assert out[8].is_shift and out[8].shift_score > 3.0       # boundary row
+    assert out[8].before_avg == 10.0 and out[8].after_avg == 50.0
+    # edges with incomplete frames stay NULL
+    assert out[0].shift_score is None and out[15].shift_score is None
+    # the lone spike inflates variance but no sustained shift flags at
+    # stable rows far from both the spike and the regime boundary
+    assert not out[5].is_shift
+
+    with _pytest.raises(ValueError, match="k must"):
+        tier_level_shift(tier, k=1)
