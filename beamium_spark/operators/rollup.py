@@ -1237,3 +1237,71 @@ def tier_level_shift(
             "is_shift", F.coalesce(F.abs(score) > threshold, F.lit(False))
         )
     )
+
+
+def tier_increase(
+    tier: DataFrame,
+    window: str = "1 hour",
+    value_col: str = "sum_value",
+    counter: bool = True,
+) -> DataFrame:
+    """PromQL ``increase()`` at tier grain: total increase of each
+    series per coarser ``window``, from per-row deltas (``counter=True``
+    applies reset semantics — a negative delta means the counter
+    restarted and the new value IS the increase; ``False`` sums raw
+    deltas, i.e. net change). The windowed companion to
+    :func:`tier_rate` (which emits per-row deltas) and
+    :func:`tier_resets` (which emits one row per series).
+
+    A series' first row has no delta and contributes nothing. Output:
+    (bucket, metric, window_start, increase, n_resets, n_deltas).
+
+    Scale: one lag over the shared (bucket, metric) tier partitioning,
+    then one decomposable hash agg keyed (bucket, metric, window).
+    """
+    w = Window.partitionBy("bucket", "metric").orderBy("window_start")
+    x = F.col(value_col).cast("double")
+    raw = x - F.lag(x).over(w)
+    delta = F.when(raw < 0, x).otherwise(raw) if counter else raw
+    flagged = tier.select(
+        "bucket",
+        "metric",
+        F.window("window_start", window).alias("w"),
+        delta.alias("__d"),
+        (raw < 0).cast("int").alias("__reset"),
+    ).filter(F.col("__d").isNotNull())
+    return flagged.groupBy("bucket", "metric", "w").agg(
+        F.sum("__d").alias("increase"),
+        F.sum("__reset").alias("n_resets"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    ).select(
+        "bucket",
+        "metric",
+        F.col("w.start").alias("window_start"),
+        "increase",
+        "n_resets",
+        "n_deltas",
+    )
+
+
+def tier_daily_profile(
+    tier: DataFrame,
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """The "typical day" seasonality profile: per (bucket, metric,
+    hour-of-day 0-23) mean/min/max/n of the tier value across all days —
+    the read capacity planning and :func:`tier_decompose` sanity checks
+    start from. One decomposable hash agg; 24 rows per series.
+    """
+    x = F.col(value_col).cast("double")
+    return (
+        tier.groupBy(
+            "bucket", "metric", F.hour("window_start").alias("hour_of_day")
+        )
+        .agg(
+            F.avg(x).alias("avg_value"),
+            F.min(x).alias("min_value"),
+            F.max(x).alias("max_value"),
+            F.count(x).alias("n"),
+        )
+    )

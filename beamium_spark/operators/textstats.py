@@ -486,3 +486,61 @@ def c4_clean(
         F.size(kept).alias("n_lines_kept"),
         ((F.size(kept) >= min_lines) & doc_ok).alias("keep"),
     )
+
+
+def corpus_composition(
+    docs: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition matrix: per ``dims`` cell (lang × source by
+    default) — docs, whitespace tokens, chars, and each cell's fraction
+    of the corpus by docs and by tokens. The first table in any dataset
+    card; the mixture check :func:`~beamium_spark.operators.sampling.
+    mix_corpora` runs against.
+
+    One hash agg + one scalar-total window (cells are dimension-bounded,
+    never data-bounded)."""
+    cells = docs.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col(text_col))).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    return cells.select(
+        *dims,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6).alias("doc_frac"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(tot), 6).alias("token_frac"),
+    )
+
+
+def token_length_histogram(
+    docs: DataFrame,
+    bin_width: int = 50,
+    max_bins: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-length distribution in whitespace tokens: fixed-width
+    bins with an overflow bucket (``bin = min(len // width, max_bins)``)
+    — the length histogram sequence-packing and truncation policies are
+    tuned against. One hash agg keyed by bin."""
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    n = token_count_ws(F.col(text_col))
+    b = F.least(F.floor(n / bin_width), F.lit(max_bins)).cast("int")
+    return (
+        docs.select(b.alias("bin"), n.alias("__n"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+        .withColumn("bin_lo", F.col("bin") * bin_width)
+    )

@@ -897,3 +897,48 @@ def test_tier_level_shift_detects_regime_change(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         tier_level_shift(tier, k=1)
+
+
+def test_tier_increase_counter_windows(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import tier_increase
+
+    t0 = dt.datetime(2025, 1, 1)
+    # counter climbs 100->150, resets to 10, climbs to 40 in hour 0;
+    # hour 1 climbs 40->90
+    rows = [(0, 100.0), (10, 150.0), (20, 10.0), (30, 40.0), (70, 90.0)]
+    tier = spark.createDataFrame(
+        [(0, "c", t0 + dt.timedelta(minutes=m), v) for m, v in rows],
+        "bucket int, metric string, window_start timestamp, sum_value double",
+    )
+    out = {
+        r.window_start.hour: r for r in tier_increase(tier, "1 hour").collect()
+    }
+    # hour 0: deltas 50, reset->10, 30 => 90 with one reset, 3 deltas
+    assert (out[0].increase, out[0].n_resets, out[0].n_deltas) == (90.0, 1, 3)
+    # hour 1: one delta of 50
+    assert (out[1].increase, out[1].n_resets, out[1].n_deltas) == (50.0, 0, 1)
+    # net mode: the reset contributes its raw negative delta
+    net = {r.window_start.hour: r.increase
+           for r in tier_increase(tier, "1 hour", counter=False).collect()}
+    assert net[0] == 50.0 - 140.0 + 30.0
+
+
+def test_tier_daily_profile(spark):
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import tier_daily_profile
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for day in range(3):
+        rows += [(0, "m", t0 + dt.timedelta(days=day, hours=9), 10.0 + day),
+                 (0, "m", t0 + dt.timedelta(days=day, hours=21), 50.0 + day)]
+    tier = spark.createDataFrame(
+        rows, "bucket int, metric string, window_start timestamp, sum_value double"
+    )
+    prof = {r.hour_of_day: r for r in tier_daily_profile(tier).collect()}
+    assert set(prof) == {9, 21}
+    assert prof[9].avg_value == 11.0 and prof[9].n == 3
+    assert (prof[21].min_value, prof[21].max_value) == (50.0, 52.0)

@@ -104,3 +104,37 @@ def test_c4_clean_line_and_doc_rules(spark):
         c4_clean(docs, min_words_per_line=0)
     with _pytest.raises(ValueError, match="min_lines"):
         c4_clean(docs, min_lines=0)
+
+
+def test_corpus_composition_fractions(spark):
+    from beamium_spark.operators.textstats import corpus_composition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "vier fünf", "de", "web"),
+            (3, "six seven eight nine", "en", "news"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.lang, r.source): r for r in corpus_composition(docs).collect()}
+    assert out[("en", "web")].n_docs == 1 and out[("en", "web")].n_tokens == 3
+    assert abs(out[("en", "news")].token_frac - 4 / 9) < 1e-6
+    assert abs(sum(r.doc_frac for r in out.values()) - 1.0) < 1e-5  # 6dp-rounded thirds
+
+
+def test_token_length_histogram_bins(spark):
+    import pytest as _pytest
+
+    from beamium_spark.operators.textstats import token_length_histogram
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 7, 55, 60, 5000])],
+        "doc_id long, text string",
+    )
+    out = {r.bin: r for r in token_length_histogram(docs, bin_width=50, max_bins=10).collect()}
+    assert out[0].n_docs == 2 and out[0].min_tokens == 3
+    assert out[1].n_docs == 2 and out[1].bin_lo == 50
+    assert out[10].n_docs == 1 and out[10].max_tokens == 5000  # overflow bucket
+    with _pytest.raises(ValueError, match="bin_width"):
+        token_length_histogram(docs, bin_width=0)
