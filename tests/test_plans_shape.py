@@ -426,3 +426,55 @@ def test_snapshot_diff_exchanges_are_narrow(spark):
         [(i, "body text") for i in range(4)], "doc_id long, text string"
     )
     _assert_no_text_in_exchanges(snapshot_diff(docs, docs))
+
+
+def test_semantic_dedup_assignment_is_projection(spark):
+    """SemDeDup's cell assignment must stay a pure projection against
+    the broadcast codebook: the plan up to the within-cell self-join
+    contains no Exchange introduced by assignment itself — the narrow
+    (id, cent_id) frame is derivable scan-side."""
+    from beamium_spark.operators.similarity import (
+        _nearest_centroid,
+        train_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(vecs, 4, 0, "embedding", "vec_id")
+    assigned = vecs.select(
+        "vec_id",
+        _nearest_centroid(
+            F.transform("embedding", lambda x: x.cast("double")), cents
+        ).alias("cent_id"),
+    )
+    assert "Exchange" not in _plan(assigned), _plan(assigned)
+
+
+def test_bpe_pair_count_is_partial_plus_final(spark):
+    """Every BPE iteration's pair count must map-side combine: partial
+    aggregation below the exchange, so the shuffle carries (l, r,
+    partial_n) — vocabulary-bounded, never token-bounded."""
+    from beamium_spark.operators.bpe import _pair_counts, word_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(_pair_counts(word_counts(docs)))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_funnel_prefilters_before_collect(spark):
+    """funnel must push the step-type filter BELOW the user exchange so
+    per-user arrays carry only funnel-relevant events: the In/isin
+    predicate appears on the scan side of the single Exchange."""
+    import datetime as dt
+
+    from beamium_spark.operators.funnel import funnel
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    plan = _plan(funnel(ev, ("view", "click")))
+    assert plan.count("Exchange") == 1
+    pre, post = plan.split("Exchange", 1)
+    # the isin filter must sit below (after, in printed order) the exchange
+    assert "event_type" in post and ("view" in post and "click" in post)
