@@ -90,6 +90,8 @@ def run_stream_to_store(
     bucket_mode: str = "hash",
     max_files_per_trigger: int = 4,
     table: str = "stream_rollup_1m",
+    alert_rules: tuple = (),
+    alerts_table: str = "stream_alerts",
 ):
     """Drive the streaming 1m tier into a ParquetTierStore with
     ``foreachBatch`` (exactly-once: Structured Streaming's epoch id +
@@ -104,12 +106,17 @@ def run_stream_to_store(
     return (
         agg.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(epoch_fenced_sink(store, table))
+        .foreachBatch(epoch_fenced_sink(store, table, alert_rules, alerts_table))
         .start()
     )
 
 
-def epoch_fenced_sink(store, table: str = "stream_rollup_1m"):
+def epoch_fenced_sink(
+    store,
+    table: str = "stream_rollup_1m",
+    alert_rules: tuple = (),
+    alerts_table: str = "stream_alerts",
+):
     """Exactly-once foreachBatch sink: each epoch's rows land in their own
     ``epoch_id=N`` partition via dynamic partition overwrite, so a replayed
     epoch (mid-write crash → Structured Streaming re-runs it) REPLACES its
@@ -117,7 +124,15 @@ def epoch_fenced_sink(store, table: str = "stream_rollup_1m"):
     each (bucket, metric, window) in exactly one epoch, so partitions never
     overlap logically. This is the parquet analogue of an Iceberg sink
     fencing on epoch_id. Exposed as a factory so tests can drive the
-    replay path directly (kill-mid-epoch)."""
+    replay path directly (kill-mid-epoch).
+
+    ``alert_rules`` (of :class:`beamium_spark.plans.job.AlertRule`) adds
+    CONTINUOUS alert evaluation: after the epoch's tier rows land, every
+    day the epoch touched is re-evaluated from the stored tier and its
+    day partition of ``alerts_table`` dynamic-overwritten — the job
+    tick's per-day deterministic recompute contract, so a replayed epoch
+    (same tier state) rewrites identical episodes and the final drained
+    table equals the batch per-day evaluation."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -126,6 +141,38 @@ def epoch_fenced_sink(store, table: str = "stream_rollup_1m"):
             "chunk_start", F.date_trunc("hour", "window_start")
         ).withColumn("epoch_id", F.lit(int(epoch_id)))
         store.overwrite_partition(out, table, "epoch_id")
+        if alert_rules:
+            from beamium_spark.operators.rollup import (
+                alert_episodes,
+                tier_alert_rule,
+            )
+
+            days = [
+                r["d"]
+                for r in out.select(
+                    F.to_date("window_start").alias("d")
+                ).distinct().collect()
+            ]
+            tier = store.read(table)
+            eps = None
+            for d in days:
+                day = tier.filter(F.to_date("window_start") == d)
+                for rule in alert_rules:
+                    a = tier_alert_rule(
+                        day.filter(F.col("metric").rlike(f"^(?:{rule.metric})$")),
+                        rule.threshold,
+                        rule.op,
+                        rule.for_windows,
+                        "1 minute",
+                    )
+                    e = alert_episodes(a, rule.for_windows, "1 minute").withColumn(
+                        "rule", F.lit(rule.label)
+                    )
+                    eps = e if eps is None else eps.unionByName(e)
+            eps = eps.withColumn(
+                "chunk_start", F.date_trunc("day", "episode_start")
+            )
+            store.write_chunks(eps, alerts_table, "chunk_start")
 
     return _sink
 

@@ -303,3 +303,41 @@ def test_streaming_session_rollup(spark, tmp_path):
     assert [(r["session_start"], r["session_end"], r["cnt"], r["sum_value"]) for r in rows] == [
         (r["session_start"], r["session_end"], r["cnt"], r["sum_value"]) for r in brows
     ]
+
+
+def test_alert_sink_epoch_replay_idempotent(spark, tmp_path):
+    """The continuous alert evaluation rides the epoch fence: replaying
+    an epoch through the sink (same tier state) rewrites identical
+    episode rows — the alerts table never double-counts."""
+    import datetime as dt
+
+    from beamium_spark.plans.job import AlertRule
+    from beamium_spark.streaming.rollup_stream import epoch_fenced_sink
+
+    store = ParquetTierStore(spark, str(tmp_path / "s"))
+    rule = AlertRule("doc_count", 5.0, ">", 2)
+    sink = epoch_fenced_sink(store, "stream_rollup_1m", (rule,), "stream_alerts")
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [1.0, 9.0, 9.0, 9.0, 1.0]
+    batch = spark.createDataFrame(
+        [(0, "doc_count", t0 + dt.timedelta(minutes=i), 1, v, v, v)
+         for i, v in enumerate(vals)],
+        "bucket int, metric string, window_start timestamp, cnt long, "
+        "sum_value double, min_value double, max_value double",
+    )
+    sink(batch, 0)
+    first = sorted(
+        (r.episode_start, r.episode_end, r.n_windows, r.fired, r.rule)
+        for r in store.read("stream_alerts").collect()
+    )
+    assert len(first) == 1
+    ep = first[0]
+    assert (ep[2], ep[3]) == (3, True) and ep[4] == rule.label
+    # redeliver the SAME epoch: alerts table must be unchanged
+    sink(batch, 0)
+    again = sorted(
+        (r.episode_start, r.episode_end, r.n_windows, r.fired, r.rule)
+        for r in store.read("stream_alerts").collect()
+    )
+    assert again == first
