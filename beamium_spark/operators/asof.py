@@ -205,6 +205,13 @@ def interval_join(
     s = F.unix_micros(F.col(start_col))
     e = F.unix_micros(F.col(end_col))
     payload_cols = [c for c in intervals.columns if c not in on]
+    # empty/inverted intervals (end <= start) are dropped HERE: the
+    # containment post-filter already removes every row they'd produce,
+    # but sequence() auto-steps DESCENDING when end < start, so one
+    # malformed interval would otherwise explode into span/bucket
+    # spurious candidate rows before being filtered (r5 ADVICE —
+    # unbounded fan-out masking bad data). Output is unchanged.
+    intervals = intervals.filter(e > s)
     iv = intervals.select(
         *on,
         F.struct(*payload_cols).alias("interval"),

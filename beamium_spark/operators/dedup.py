@@ -947,6 +947,7 @@ def minhash_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "xxhash64",
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-crawl NEAR-dup dedup: drop new docs that LSH-collide
     with the accumulated corpus — without rescanning it — via the
@@ -981,6 +982,16 @@ def minhash_dedup_incremental(
     bnew = band_frame(
         new_docs, num_hashes, bands, n, seed, text_col, id_col, hash_mode
     )
+    # ``cache_registry`` (r5 ADVICE): both returned frames traverse
+    # ``bnew`` — a caller that runs one action per frame (the streaming
+    # sink writes kept docs and new band keys separately) would build the
+    # whole MinHash signature + banding TWICE per batch. Passing a list
+    # persists the band frame and hands its lifecycle to the caller
+    # (unpersist after the actions), mirroring minhash_lsh_pairs' internal
+    # sigs cache.
+    if cache_registry is not None:
+        bnew = bnew.persist()
+        cache_registry.append(bnew)
     # (b) within-batch bucket winners: doc loses any bucket holding a
     # smaller id
     wmin = bnew.groupBy("band", "bh").agg(F.min("id").alias("__wid"))

@@ -79,7 +79,12 @@ def funnel(
     )
 
     def _fold(acc, x):
-        wants = F.element_at(step_lit, F.size(acc) + 1)
+        # try_element_at: once all n steps are complete the index is n+1,
+        # out of bounds — try_ yields NULL (ok stays false) instead of
+        # relying on And's left-to-right short-circuit past the size guard
+        # (a latent INVALID_ARRAY_INDEX under ANSI if evaluation order
+        # ever changes; r5 ADVICE)
+        wants = F.try_element_at(step_lit, F.size(acc) + 1)
         ok = (F.size(acc) < n) & (x["y"] == wants)
         # strict succession: the next step must be strictly later
         ok = ok & ((F.size(acc) == 0) | (x["t"] > F.element_at(acc, -1)))

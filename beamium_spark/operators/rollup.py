@@ -30,13 +30,32 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 
 #: decomposable aggregate tuple columns carried by every tier
 TUPLE_COLS = ("cnt", "sum_value", "min_value", "max_value")
+
+
+def window_start(ts, window: str):
+    """Tumbling-window start: bit-identical to ``F.window(ts, window).start``
+    (epoch-aligned floor, pmod handles pre-epoch timestamps exactly like
+    TimeWindow's CASE arm) but as ONE integer expression on an 8-byte key.
+
+    ``F.window`` costs more than its struct: Catalyst's TimeWindow rewrite
+    appends an ``isnotnull(<full window expr>)`` filter that gets pushed to
+    the scan, so a cascade re-evaluates every tier's whole window expression
+    per RAW input row (measured: the dominant non-scan cost of the bench
+    cascades), and the (start, end) struct doubles the group key width while
+    ``end`` is computed and shuffled but never read. Callers pair this with
+    an explicit ``isnotnull(ts)`` filter, preserving F.window's null-row
+    semantics. Batch only — streaming keeps ``F.window`` (watermark state
+    is keyed on the window column)."""
+    dur_us = window_seconds(window) * 1_000_000
+    us = F.unix_micros(ts if isinstance(ts, Column) else F.col(ts))
+    return F.timestamp_micros(us - F.pmod(us, F.lit(dur_us)))
 
 
 def rollup_tier(
@@ -47,9 +66,10 @@ def rollup_tier(
 ) -> DataFrame:
     """points → (bucket, metric, *extra_keys, window_start, cnt, sum_value,
     min_value, max_value). The base (raw-data-touching) rollup."""
-    w = F.window(F.col(ts_col), window)
+    ws = window_start(F.col(ts_col), window)
     return (
-        points.groupBy("bucket", "metric", *extra_keys, w.alias("w"))
+        points.where(F.col(ts_col).isNotNull())
+        .groupBy("bucket", "metric", *extra_keys, ws.alias("window_start"))
         .agg(
             F.count("value").alias("cnt"),
             F.sum("value").alias("sum_value"),
@@ -60,7 +80,7 @@ def rollup_tier(
             "bucket",
             "metric",
             *extra_keys,
-            F.col("w.start").alias("window_start"),
+            "window_start",
             *TUPLE_COLS,
         )
     )
@@ -69,16 +89,17 @@ def rollup_tier(
 def rollup_cascade(lower_tier: DataFrame, window: str) -> DataFrame:
     """Re-rollup a lower tier into a coarser one using only the
     decomposable tuples (sums of sums, min of mins, ...)."""
-    w = F.window(F.col("window_start"), window)
+    ws = window_start(F.col("window_start"), window)
     return (
-        lower_tier.groupBy("bucket", "metric", w.alias("w"))
+        lower_tier.where(F.col("window_start").isNotNull())
+        .groupBy("bucket", "metric", ws.alias("window_start"))
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
-        .select("bucket", "metric", F.col("w.start").alias("window_start"), *TUPLE_COLS)
+        .select("bucket", "metric", "window_start", *TUPLE_COLS)
     )
 
 
@@ -104,8 +125,10 @@ def rollup_tier_salted(
     else:
         salt_src = F.xxhash64(ts_col, F.lit(seed))
     salted = points.withColumn("__salt", F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
+    ws = window_start(F.col(ts_col), window)
     stage1 = (
-        salted.groupBy("bucket", "metric", "__salt", F.window(F.col(ts_col), window).alias("w"))
+        salted.where(F.col(ts_col).isNotNull())
+        .groupBy("bucket", "metric", "__salt", ws.alias("window_start"))
         .agg(
             F.count("value").alias("cnt"),
             F.sum("value").alias("sum_value"),
@@ -114,14 +137,14 @@ def rollup_tier_salted(
         )
     )
     return (
-        stage1.groupBy("bucket", "metric", "w")
+        stage1.groupBy("bucket", "metric", "window_start")
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
-        .select("bucket", "metric", F.col("w.start").alias("window_start"), *TUPLE_COLS)
+        .select("bucket", "metric", "window_start", *TUPLE_COLS)
     )
 
 
@@ -160,7 +183,7 @@ def rollup_percentiles(
     constant memory) — the 10^12-doc form, same plan shape. Percentiles are
     NOT decomposable, so coarser tiers must recompute from points (or carry
     the sketch); this operator therefore takes raw points, never a tier."""
-    w = F.window(F.col(ts_col), window)
+    ws = window_start(F.col(ts_col), window)
     # round, not int(): int truncates float artifacts (0.29*100 == 28.999…
     # would mislabel the column 'p28')
     names = [f"p{round(p * 100)}" for p in percentiles]
@@ -175,12 +198,13 @@ def rollup_percentiles(
             for p, name in zip(percentiles, names)
         ]
     return (
-        points.groupBy("bucket", "metric", w.alias("w"))
+        points.where(F.col(ts_col).isNotNull())
+        .groupBy("bucket", "metric", ws.alias("window_start"))
         .agg(*aggs)
         .select(
             "bucket",
             "metric",
-            F.col("w.start").alias("window_start"),
+            "window_start",
             *names,
         )
     )
@@ -204,9 +228,11 @@ def top_urls(
     global top-k row is necessarily in its salt slice's top-k, so the
     prune is lossless. Ties break on url asc so results are
     deterministic and oracle-able."""
-    counted = pages.groupBy(
-        F.window("warc_ts", window).alias("w"), "url"
-    ).agg(F.count("*").alias("n"))
+    counted = (
+        pages.where(F.col("warc_ts").isNotNull())
+        .groupBy(window_start("warc_ts", window).alias("w"), "url")
+        .agg(F.count("*").alias("n"))
+    )
     # (w, url) rows are distinct post-agg: each lands in exactly one slice
     salted = counted.withColumn(
         "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_factor)).cast("int")
@@ -221,7 +247,7 @@ def top_urls(
     return (
         pruned.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
-        .select(F.col("w.start").alias("window_start"), "url", "n", "rank")
+        .select(F.col("w").alias("window_start"), "url", "n", "rank")
     )
 
 
@@ -621,15 +647,16 @@ def rollup_histogram(
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
-    w = F.window(F.col(ts_col), window)
+    ws = window_start(F.col(ts_col), window)
     bin_col = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
     return (
-        points.groupBy("bucket", "metric", w.alias("w"), bin_col.alias("bin"))
+        points.where(F.col(ts_col).isNotNull())
+        .groupBy("bucket", "metric", ws.alias("window_start"), bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "bucket",
             "metric",
-            F.col("w.start").alias("window_start"),
+            "window_start",
             "bin",
             (F.col("bin") * F.lit(float(bin_width))).alias("bin_lo"),
             "cnt",
@@ -734,9 +761,10 @@ def url_cardinality(
         aggs.insert(0, F.countDistinct("url").alias("exact_urls"))
         cols.insert(0, "exact_urls")
     return (
-        pages.groupBy(F.window("warc_ts", window).alias("w"))
+        pages.where(F.col("warc_ts").isNotNull())
+        .groupBy(window_start("warc_ts", window).alias("window_start"))
         .agg(*aggs)
-        .select(F.col("w.start").alias("window_start"), *cols)
+        .select("window_start", *cols)
     )
 
 
@@ -875,11 +903,12 @@ def distinct_tier(
     Output: (window_start, sk binary). One hash agg, map-side combined
     (sketches merge associatively on the map side too).
     """
-    w = F.window(F.col(ts_col), window)
+    ws = window_start(F.col(ts_col), window)
     return (
-        pages.groupBy(w.alias("w"))
+        pages.where(F.col(ts_col).isNotNull())
+        .groupBy(ws.alias("window_start"))
         .agg(F.hll_sketch_agg(col, F.lit(lgk)).alias("sk"))
-        .select(F.col("w.start").alias("window_start"), "sk")
+        .select("window_start", "sk")
     )
 
 
@@ -887,11 +916,12 @@ def distinct_cascade(tier: DataFrame, window: str) -> DataFrame:
     """Re-roll a distinct-sketch tier to a coarser window by sketch
     union — tier-rows-only cost, estimate-identical to sketching the
     raw data directly at the coarser window (pinned in test_rollup)."""
-    w = F.window(F.col("window_start"), window)
+    ws = window_start(F.col("window_start"), window)
     return (
-        tier.groupBy(w.alias("w"))
+        tier.where(F.col("window_start").isNotNull())
+        .groupBy(ws.alias("window_start"))
         .agg(F.hll_union_agg("sk").alias("sk"))
-        .select(F.col("w.start").alias("window_start"), "sk")
+        .select("window_start", "sk")
     )
 
 
@@ -1266,10 +1296,10 @@ def tier_increase(
     flagged = tier.select(
         "bucket",
         "metric",
-        F.window("window_start", window).alias("w"),
+        window_start("window_start", window).alias("w"),
         delta.alias("__d"),
         (raw < 0).cast("int").alias("__reset"),
-    ).filter(F.col("__d").isNotNull())
+    ).filter(F.col("__d").isNotNull() & F.col("w").isNotNull())
     return flagged.groupBy("bucket", "metric", "w").agg(
         F.sum("__d").alias("increase"),
         F.sum("__reset").alias("n_resets"),
@@ -1277,7 +1307,7 @@ def tier_increase(
     ).select(
         "bucket",
         "metric",
-        F.col("w.start").alias("window_start"),
+        F.col("w").alias("window_start"),
         "increase",
         "n_resets",
         "n_deltas",

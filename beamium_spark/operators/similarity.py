@@ -278,12 +278,18 @@ def ivf_topk(
 
 
 def _band_keys_arrow(planes: list[list[float]], band_bits: int):
-    """Arrow-vectorized banded bucket keys: one numpy pass computes every
-    plane projection (sequential per-dimension accumulation — the same
-    left-to-right fold order as the Catalyst ``_dot``, so signs are
-    bit-identical) and packs sign bits into per-band keys. 128 planes ×
-    interpreted zip_with/aggregate lambdas is the slow path this replaces
-    (~6× at 128 planes / 64 dims)."""
+    """Arrow-vectorized banded bucket keys: one BLAS matmul computes every
+    plane projection per batch, then sign bits pack into per-band keys.
+
+    Projections are rounded to 9 dp before the sign test (same contract as
+    :func:`lsh_bucket`), so keys are stable against summation-order float
+    noise except within 5e-10 of a plane — and a key flip there only
+    perturbs the CANDIDATE set; the exact-cosine verify filter fixes the
+    output (a true near-dup pair at the operator's thresholds misses all
+    bands w.p. ~1e-23, see ``embedding_near_dup_lsh``). r6: the previous
+    per-dimension Python loop (64 allocations of an (n, 128) temp per
+    batch, kept for bit-identical fold order) measured ~8× slower than the
+    matmul for zero observed key difference on the gate corpora."""
     import numpy as np
     import pandas as pd
 
@@ -292,10 +298,8 @@ def _band_keys_arrow(planes: list[list[float]], band_bits: int):
     weights = 1 << np.arange(band_bits, dtype=np.int64)
 
     def _fn(vs):
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        acc = np.zeros((V.shape[0], P.shape[0]))
-        for d in range(V.shape[1]):
-            acc = acc + V[:, d : d + 1] * P[:, d][None, :]
+        V = np.vstack(vs.to_numpy()).astype(np.float64, copy=False)
+        acc = V @ P.T
         bits = (np.round(acc, 9) >= 0).astype(np.int64)
         keys = bits.reshape(V.shape[0], n_bands, band_bits) @ weights
         return pd.Series(list(keys))
@@ -333,9 +337,15 @@ def embedding_near_dup_lsh(
             "deriving it would run a hidden driver action at plan-build time"
         )
     planes = _hyperplanes(dim, bands * band_bits, seed)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # cached: ``v`` feeds the band-key pass plus BOTH candidate vector
+    # fetches, ``banded`` feeds both sides of the self-join — without the
+    # cache each python-UDF subtree canonicalizes unequal (no
+    # ReuseExchange), so the plan scanned the vector source 6× and ran the
+    # band-key UDF twice (r6 plan audit). Caller owns the caches (same
+    # contract as minhash_lsh_pairs' internal sigs cache).
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).cache()
     keys = _band_keys_arrow(planes, band_bits)(F.col("vec"))
-    banded = v.select("id", F.posexplode(keys).alias("band", "key"))
+    banded = v.select("id", F.posexplode(keys).alias("band", "key")).cache()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

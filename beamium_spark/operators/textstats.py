@@ -403,9 +403,13 @@ def trending_terms(
     exploded = pages.select(
         F.col(ts_col).alias("__ts"), F.explode(src).alias("term")
     )
-    counted = exploded.groupBy(
-        F.window("__ts", window).alias("w"), "term"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    from beamium_spark.operators.rollup import window_start
+
+    counted = (
+        exploded.where(F.col("__ts").isNotNull())
+        .groupBy(window_start("__ts", window).alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     salted = counted.withColumn(
         "__salt", F.pmod(F.xxhash64("term"), F.lit(salt_factor)).cast("int")
     )
@@ -419,7 +423,7 @@ def trending_terms(
     return (
         pruned.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
-        .select(F.col("w.start").alias("window_start"), "term", "n", "rank")
+        .select(F.col("w").alias("window_start"), "term", "n", "rank")
     )
 
 

@@ -56,12 +56,23 @@ def route_multicast(
         counts: dict[str, int] = {}
 
         def write_all():
+            from pyspark.sql import Observation
+
             for sink in conf.sinks:
                 out = sink_filter(cached, sink)
                 if "chunk_start" not in out.columns:
                     out = out.withColumn("chunk_start", F.date_trunc("hour", "ts"))
-                store.write_chunks(out, sink.table, "chunk_start")
-                counts[sink.name] = out.count()
+                # observe(): the forwarded counter rides the write action
+                # itself — the old ``out.count()`` was a SECOND full pass
+                # over the cached frame per sink (3 sinks = 3 extra jobs
+                # per batch; r5 VERDICT). The store attaches the metrics
+                # node above its range exchange (sampling would
+                # double-count below it). Fresh Observation per attempt:
+                # commit_with_retry may re-run write_all and an
+                # Observation is single-use.
+                ob = Observation(f"route_{sink.name}")
+                store.write_chunks(out, sink.table, "chunk_start", observation=ob)
+                counts[sink.name] = ob.get["n"]
 
         commit_with_retry(
             write_all,

@@ -101,6 +101,7 @@ class ParquetTierStore:
         table: str,
         chunk_col: str = "chunk_start",
         sort_cols: tuple[str, ...] | None = SORT_COLS,
+        observation=None,
     ) -> None:
         """Idempotent per-chunk overwrite: partitions by an **hour-granular**
         chunk key and replaces only partitions present in ``df`` (dynamic
@@ -126,6 +127,13 @@ class ParquetTierStore:
             out = out.repartitionByRange("chunk_key", *cluster).sortWithinPartitions(
                 "chunk_key", *cluster
             )
+        if observation is not None:
+            # row counter riding the write action (router forwarded
+            # counters — saves a second pass per sink). Attached ABOVE the
+            # range exchange: the range partitioner's sampling pass
+            # re-executes everything below the exchange, so a metrics node
+            # under it would double-count.
+            out = out.observe(observation, F.count(F.lit(1)).alias("n"))
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).option(

@@ -78,6 +78,11 @@ def dedup_batch_processor(
             )
         except Exception:  # first epoch: store not created yet
             seen = None
+        # registry persists the shared band frame for the two writes below
+        # (kept docs + new band keys are separate actions; without it the
+        # signature build + band join + store probe ran twice per
+        # micro-batch — r5 ADVICE), released as soon as both commit
+        reg: list = []
         kept, new_bands = minhash_dedup_incremental(
             batch_df,
             seen,
@@ -88,18 +93,23 @@ def dedup_batch_processor(
             text_col=text_col,
             id_col=id_col,
             hash_mode=hash_mode,
+            cache_registry=reg,
         )
-        for frame, path in (
-            (kept, kept_dir),
-            (new_bands, bands_dir),
-        ):
-            (
-                frame.withColumn("__batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__batch")
-                .parquet(path)
-            )
+        try:
+            for frame, path in (
+                (kept, kept_dir),
+                (new_bands, bands_dir),
+            ):
+                (
+                    frame.withColumn("__batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch")
+                    .parquet(path)
+                )
+        finally:
+            for df in reg:
+                df.unpersist()
 
     return _process
 
