@@ -56,17 +56,31 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, vec_id, cos, rank). Query set broadcast —
     the data side never shuffles; one window per query partition."""
+    # norms hoisted off the pair row (one per query / one per vector row
+    # instead of one per SCORED PAIR; r6): cos stays the exact expression
+    # dot/(norm_q*norm_v) — _norm is deterministic per array, so the value
+    # is float-identical to computing it inline.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(vec_col).alias("__nq"),
     )
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v_vec"),
+        _norm(vec_col).alias("__nv"),
+    )
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("v_vec"))
+                / (F.col("__nq") * F.col("__nv")),
+                9,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -125,11 +139,13 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        _norm(vec_col).alias("__nv"),
     )
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("b0"),
+        _norm(vec_col).alias("__nq"),
     )
     probe_buckets = F.array(
         F.col("b0"),
@@ -139,15 +155,24 @@ def lsh_topk(
         ],
     )
     q = q_base.select(
-        "query_id", "q_vec", F.explode(F.array_distinct(probe_buckets)).alias("bucket")
+        "query_id",
+        "q_vec",
+        "__nq",
+        F.explode(F.array_distinct(probe_buckets)).alias("bucket"),
     )
+    # norms hoisted to the per-row projections above (not per candidate
+    # pair); dot/(nq*nv) is float-identical to the inline cosine
     scored = (
         v.join(q, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("v_vec"))
+                / (F.col("__nq") * F.col("__nv")),
+                9,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -258,19 +283,27 @@ def ivf_topk(
     BENCH/BASELINE.md)."""
     cents = train_centroids(vectors, n_centroids, kmeans_iters, vec_col, id_col)
     v = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v_vec"),
+        _norm(vec_col).alias("__nv"),
     ).withColumn("cent_id", _nearest_centroid(F.col("v_vec"), cents))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(vec_col).alias("__nq"),
         F.explode(_probe_centroids(F.col(vec_col), cents, nprobe)).alias("cent_id"),
     )
+    # norms hoisted off the candidate rows; dot/(nq*nv) float-identical
     scored = (
         v.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("v_vec"))
+                / (F.col("__nq") * F.col("__nv")),
+                9,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -357,13 +390,27 @@ def embedding_near_dup_lsh(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    # norms ride the (broadcast) vector fetch: one _norm per VECTOR on the
+    # build side instead of two per candidate pair (the candidate set is
+    # ~100x the corpus at these banding params — r6 measured the verify
+    # stage dominated by the interpreted norm folds). cos stays the exact
+    # expression dot/(norm_a*norm_b): _norm is deterministic per array, so
+    # hoisting it off the pair row is float-identical.
+    va = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), _norm("vec").alias("__na")
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), _norm("vec").alias("__nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos")
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 9
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -442,15 +489,29 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("cent_id", _nearest_centroid(F.col("v"), cents))
-    left = v.select("cent_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = v.select("cent_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # norms hoisted to one per vector row (the within-cell join emits
+    # Σ|cell|² pair rows; dot/(na*nb) is float-identical to inline cosine)
+    left = v.select(
+        "cent_id",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm("v").alias("__na"),
+    )
+    right = v.select(
+        "cent_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm("v").alias("__nb"),
+    )
     pairs = (
         left.join(right, "cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 9
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
