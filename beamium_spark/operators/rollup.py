@@ -88,10 +88,17 @@ def rollup_tier(
 
 def rollup_cascade(lower_tier: DataFrame, window: str) -> DataFrame:
     """Re-rollup a lower tier into a coarser one using only the
-    decomposable tuples (sums of sums, min of mins, ...)."""
+    decomposable tuples (sums of sums, min of mins, ...).
+
+    Input ``window_start`` must be non-null — true of every tier this
+    module produces (tier group keys of notnull-filtered timestamps).
+    No explicit null filter here: filtering on the lower tier's key column
+    pushes through the child aggregate and re-evaluates every chained
+    window expression per RAW input row (r6 plan audit — the filter, not
+    the aggregation, dominated the cascade)."""
     ws = window_start(F.col("window_start"), window)
     return (
-        lower_tier.where(F.col("window_start").isNotNull())
+        lower_tier
         .groupBy("bucket", "metric", ws.alias("window_start"))
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -917,8 +924,11 @@ def distinct_cascade(tier: DataFrame, window: str) -> DataFrame:
     union — tier-rows-only cost, estimate-identical to sketching the
     raw data directly at the coarser window (pinned in test_rollup)."""
     ws = window_start(F.col("window_start"), window)
+    # no null filter: tier keys are structurally non-null (see
+    # rollup_cascade), and the pushed filter would re-evaluate the chained
+    # window exprs per raw row
     return (
-        tier.where(F.col("window_start").isNotNull())
+        tier
         .groupBy(ws.alias("window_start"))
         .agg(F.hll_union_agg("sk").alias("sk"))
         .select("window_start", "sk")

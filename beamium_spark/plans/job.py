@@ -405,14 +405,24 @@ class RollupJob:
         """Idempotent tier data write (chunk partition overwrite) with
         beamium's commit backoff; manifest rows are the caller's business —
         ordering them after all dependent writes is what makes kill-anywhere
-        replay sound."""
-        tier_df = tier_df.cache()
-        forwarded = tier_df.count()
-        commit_with_retry(
-            lambda: self.store.write_chunks(tier_df, table, "chunk_start")
-        )
-        tier_df.unpersist()
-        return forwarded
+        replay sound.
+
+        The forwarded counter rides the write via ``observe()`` (r6) —
+        previously the frame was cached and counted in a separate action
+        before the write (cache fill + cache re-read per tier). Fresh
+        Observation per attempt: a backoff retry re-runs the closure and an
+        Observation is single-use."""
+        from pyspark.sql import Observation
+
+        result: dict[str, int] = {}
+
+        def _attempt() -> None:
+            ob = Observation()
+            self.store.write_chunks(tier_df, table, "chunk_start", observation=ob)
+            result["n"] = ob.get["n"]
+
+        commit_with_retry(_attempt)
+        return result["n"]
 
     # ---- retention -------------------------------------------------------
 

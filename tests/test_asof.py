@@ -281,3 +281,36 @@ def test_interval_join_plans_as_equi_join(spark):
     # the whole point: containment joins as a hash/merge EQUI-join on
     # (key, bucket), never a nested-loop/cartesian range probe
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_inverted_interval_dropped_without_fanout(spark):
+    """r6 guard: an interval with end <= start must contribute ZERO rows —
+    and must be dropped BEFORE the bucket explode (sequence() auto-steps
+    descending, so a far-inverted interval used to fan out into span/width
+    spurious candidates that only the post-filter removed)."""
+    import datetime as dt
+
+    from beamium_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2025, 1, 1)
+    pts = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(minutes=m), float(m)) for m in range(60)],
+        "k string, ts timestamp, v double",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", 1, t0 + dt.timedelta(minutes=10), t0 + dt.timedelta(minutes=20)),
+            # inverted by ~2 years: would be ~17k spurious hour buckets pre-guard
+            ("a", 2, t0, t0 - dt.timedelta(days=700)),
+            # empty (end == start)
+            ("a", 3, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(minutes=30)),
+        ],
+        "k string, iv_id int, start timestamp, end timestamp",
+    )
+    got = interval_join(pts, iv, on=("k",), bucket="1 hour")
+    ids = sorted({r.interval.iv_id for r in got.collect()})
+    assert ids == [1]
+    # the guard filters intervals upstream of the explode: the exploded
+    # interval side must hold exactly the valid interval's bucket rows
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "sequence" in plan.lower()

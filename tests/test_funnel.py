@@ -114,3 +114,19 @@ def test_event_paths_top_sequences(spark):
 
     with _pytest.raises(ValueError, match="k >= 2"):
         event_paths(slide, k=1)
+
+
+def test_funnel_events_after_completion_are_safe(spark):
+    """r6: once all n steps are bound, the next-step lookup indexes n+1 —
+    try_element_at must yield NULL (no ANSI INVALID_ARRAY_INDEX) and the
+    bound conversion must be unchanged by trailing funnel-type events."""
+    from beamium_spark.operators.funnel import funnel
+
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        # trailing funnel-type events AFTER full completion
+        (1, 3, "view"), (1, 4, "purchase"), (1, 5, "click"),
+    ]
+    r = funnel(_ev(spark, rows), ("view", "click", "purchase")).collect()[0]
+    assert r.converted and r.n_steps == 3
+    assert [t.minute for t in r.step_ts] == [0, 1, 2]

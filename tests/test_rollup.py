@@ -942,3 +942,46 @@ def test_tier_daily_profile(spark):
     assert set(prof) == {9, 21}
     assert prof[9].avg_value == 11.0 and prof[9].n == 3
     assert (prof[21].min_value, prof[21].max_value) == (50.0, 52.0)
+
+
+def test_window_start_matches_f_window(spark):
+    """The r6 window_start() rewrite must be bit-identical to
+    F.window(...).start — including pre-epoch timestamps (pmod arm) and
+    non-calendar widths — and must drop null timestamps exactly like
+    F.window's implicit filter when paired with isnotnull."""
+    import datetime as dt
+
+    from beamium_spark.operators.rollup import window_start
+
+    rows = [
+        (dt.datetime(2025, 1, 1, 0, 0, 0),),
+        (dt.datetime(2025, 3, 7, 13, 59, 59, 999999),),
+        (dt.datetime(2025, 3, 7, 14, 0, 0),),
+        (dt.datetime(1969, 12, 31, 23, 58, 30),),  # pre-epoch
+        (dt.datetime(1970, 1, 1, 0, 0, 1),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    for w in ("1 minute", "5 minutes", "1 hour", "1 day", "90 seconds"):
+        got = (
+            df.where(F.col("ts").isNotNull())
+            .select(window_start("ts", w).alias("s"))
+            .collect()
+        )
+        want = df.select(F.window("ts", w).start.alias("s")).collect()
+        # F.window's rewrite drops null-ts rows; ours via the explicit filter
+        assert [r.s for r in got] == [r.s for r in want if r.s is not None]
+
+
+def test_rollup_tier_drops_null_ts_like_f_window(spark):
+    import datetime as dt
+
+    rows = [
+        (0, "m", dt.datetime(2025, 1, 1, 0, 0, 10), 1.0),
+        (0, "m", None, 100.0),  # must not form a null-window group
+        (0, "m", dt.datetime(2025, 1, 1, 0, 0, 50), 3.0),
+    ]
+    pts = spark.createDataFrame(rows, "bucket int, metric string, ts timestamp, value double")
+    out = rollup_tier(pts, "1 minute").collect()
+    assert len(out) == 1
+    assert out[0].cnt == 2 and out[0].sum_value == 4.0
