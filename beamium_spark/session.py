@@ -87,15 +87,16 @@ def get_spark(
             "spark.sql.columnVector.offheap.enabled",
             os.environ.get("BEAMIUM_COLVEC_OFFHEAP", "true"),
         )
-        # 64 MB splits: 15 GB / 128 MB = ~123 tasks over 32 cores leaves a
-        # 3.8-wave tail with ~1/4 of the last wave idle; halving the split
-        # doubles the waves and evens the tail (measured r6: −5-10% on the
-        # scan-bound queries). Scale-independent reasoning (it balances
-        # whatever cores × data the host has), env-overridable for clusters
-        # that prefer the guide's 512 MB-1 GB sequential-scan splits.
+        # Split size stays at Spark's 128 MB default but is surfaced as a
+        # knob: r6 measured 64 MB buying ~5% on the fat-binary scans (finer
+        # tail balancing) while COSTING ~20% on slim-column scans of the
+        # same files (twice the task/footer overhead for ~5 MB of actual
+        # column bytes) — a wash the 128 MB default resolves in favor of
+        # the common case. Clusters with different file/core geometry tune
+        # via env.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("BEAMIUM_MAX_PARTITION_BYTES", "64m"),
+            os.environ.get("BEAMIUM_MAX_PARTITION_BYTES", "128m"),
         )
     )
     # vendored-jar seam (e.g. a local iceberg-spark-runtime jar where the
